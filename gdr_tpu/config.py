@@ -200,12 +200,15 @@ class GDRConfig:
         return dataclasses.replace(self, **kw)
 
 
-def tiny_config(kary: int = 4, max_output_length: int = 5, d_model: int = 64,
-                embedding_dim: int = 32) -> GDRConfig:
-    """A CPU-testable configuration used across the test-suite."""
-    model = ModelConfig(kary=kary, max_output_length=max_output_length).scaled("tiny")
-    model = dataclasses.replace(model, d_model=d_model, vocab_size=256,
-                                encoder_d_model=embedding_dim)
+def tiny_config(kary: int = 4, max_output_length: int = 5, d_model: int = 32,
+                embedding_dim: int = 16) -> GDRConfig:
+    """A CPU-testable configuration used across the test-suite (single-core
+    friendly: 2-layer encoder, 1-layer decoder, 1-layer adaptor)."""
+    model = ModelConfig(
+        kary=kary, max_output_length=max_output_length,
+        d_model=d_model, d_kv=16, d_ff=64, num_layers=2, num_decoder_layers=1,
+        num_heads=2, vocab_size=128, encoder_d_model=embedding_dim,
+        adaptor_layer_num=1, adaptor_num_heads=2, dropout_rate=0.1)
     index = IndexConfig(kary=kary, leaf_cap=8, embedding_dim=embedding_dim,
                         max_docs_per_cluster=16)
     data = DataConfig(max_input_length=16, doc_length=16, encoder_max_len=32,

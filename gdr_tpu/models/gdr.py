@@ -1,0 +1,174 @@
+"""The GDR generative retriever: T5 + positional decode head + PAWA.
+
+Re-designs the reference's customised ``T5ForConditionalGeneration``
+(modeling_t5.py:1153-1752) as one Flax module:
+
+- separate decode-embedding table of size ``decode_vocab_size``
+  (ref modeling_t5.py:1185-1194), optionally tied to the lm-head;
+- asymmetric encoder/decoder depth;
+- PAWA adaptive lm-head (ref :1229-1244, 1615-1639);
+- positional-validity logit mask added to the logits in both training and
+  inference (ref :1279-1301, 1643-1646);
+- explicit-cache incremental ``decode_step`` used by the `lax.scan` beam
+  search (the reference decodes cache-less, its main latency sink —
+  SURVEY.md §6 defect 6).
+
+The query representation for the dense stage is the encoder's first-position
+hidden state (ref EncoderModel.encode_query, main_models.py:102-109).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from gdr_tpu.config import ModelConfig
+from gdr_tpu.models.pawa import PawaAdaptor
+from gdr_tpu.models.t5 import Decoder, Encoder
+from gdr_tpu.ops.masks import positional_logit_mask
+
+Array = jax.Array
+
+
+class GenerativeRetriever(nn.Module):
+    cfg: ModelConfig
+    dtype: Any = jnp.float32
+
+    def setup(self) -> None:
+        c = self.cfg
+        self.shared = nn.Embed(c.vocab_size, c.d_model,
+                               embedding_init=nn.initializers.normal(1.0),
+                               dtype=self.dtype, name="shared")
+        self.encoder = Encoder(
+            num_layers=c.num_layers, d_model=c.d_model, num_heads=c.num_heads,
+            d_kv=c.d_kv, d_ff=c.d_ff, dropout_rate=c.dropout_rate,
+            layer_norm_epsilon=c.layer_norm_epsilon,
+            relative_attention_num_buckets=c.relative_attention_num_buckets,
+            relative_attention_max_distance=c.relative_attention_max_distance,
+            dtype=self.dtype, name="encoder")
+        self.decode_embed = nn.Embed(
+            c.decode_vocab_size, c.d_model,
+            embedding_init=nn.initializers.normal(1.0),
+            dtype=self.dtype, name="decode_embed")
+        self.decoder = Decoder(
+            num_layers=c.num_decoder_layers, d_model=c.d_model,
+            num_heads=c.num_heads, d_kv=c.d_kv, d_ff=c.d_ff,
+            dropout_rate=c.dropout_rate,
+            layer_norm_epsilon=c.layer_norm_epsilon,
+            relative_attention_num_buckets=c.relative_attention_num_buckets,
+            relative_attention_max_distance=c.relative_attention_max_distance,
+            dtype=self.dtype, name="decoder")
+        if not c.tie_decode_embedding:
+            self.lm_head = self.param(
+                "lm_head", nn.initializers.normal(0.02),
+                (c.d_model, c.decode_vocab_size), jnp.float32)
+        if c.adaptor_decode:
+            self.pawa = PawaAdaptor(
+                d_model=c.d_model, decode_vocab_size=c.decode_vocab_size,
+                num_layers=c.adaptor_layer_num, num_heads=c.adaptor_num_heads,
+                dropout_rate=c.dropout_rate, dtype=self.dtype, name="pawa")
+        # [L, V] additive −1e9 validity mask (0 on valid entries)
+        self.logit_mask = jnp.asarray(
+            positional_logit_mask(c.kary, c.max_output_length, c.position))
+
+    # ------------------------------------------------------------------ utils
+
+    def _head_weight(self) -> Array:
+        """Base lm-head weight [d_model, V] (tied → decode embedding table)."""
+        if self.cfg.tie_decode_embedding:
+            return self.decode_embed.embedding.T.astype(self.dtype)
+        return self.lm_head.astype(self.dtype)
+
+    # ------------------------------------------------------------- main paths
+
+    def encode(self, input_ids: Array, attn_mask: Array,
+               deterministic: bool = True) -> Array:
+        x = self.shared(input_ids)
+        return self.encoder(x, attn_mask, deterministic=deterministic)
+
+    def query_embedding(self, enc: Array) -> Array:
+        """Dense-stage query rep: first-position encoder state
+        (ref main_models.py:102-109, use_query_embed_encoder path)."""
+        return enc[:, 0]
+
+    def decode_logits(self, enc: Array, enc_mask: Array,
+                      decoder_input_ids: Array, decoder_attn_mask: Array,
+                      deterministic: bool = True) -> tuple[Array, Array]:
+        """Teacher-forced decode → (masked logits [B, L, V], dec hidden [B, L, d])."""
+        c = self.cfg
+        x = self.decode_embed(decoder_input_ids)
+        hidden = self.decoder(x, enc, decoder_attn_mask, enc_mask,
+                              deterministic=deterministic)
+        s = hidden * (c.d_model ** -0.5)        # ref modeling_t5.py:1577
+        logits = jnp.einsum("bld,dv->blv", s, self._head_weight(),
+                            preferred_element_type=jnp.float32)
+        if c.adaptor_decode:
+            a = self.pawa(x, deterministic=deterministic)
+            logits = logits + self.pawa.delta_logits(a, s).astype(jnp.float32)
+        logits = logits + self.logit_mask[None, : logits.shape[1]]
+        return logits, hidden
+
+    def __call__(self, input_ids: Array, attn_mask: Array,
+                 decoder_input_ids: Array, decoder_attn_mask: Array,
+                 deterministic: bool = True) -> dict[str, Array]:
+        enc = self.encode(input_ids, attn_mask, deterministic=deterministic)
+        logits, dec_hidden = self.decode_logits(
+            enc, attn_mask, decoder_input_ids, decoder_attn_mask,
+            deterministic=deterministic)
+        return {
+            "logits": logits,
+            "decoder_hidden": dec_hidden,
+            "encoder_hidden": enc,
+            "query_embedding": self.query_embedding(enc),
+        }
+
+    # ----------------------------------------------------- incremental decode
+
+    def init_cache(self, enc: Array, max_len: int) -> dict[str, Array]:
+        b = enc.shape[0]
+        cache = self.decoder.init_cache(b, max_len, enc)
+        if self.cfg.adaptor_decode:
+            cache.update(self.pawa.init_cache(b, max_len))
+        return cache
+
+    def decode_step(self, token: Array, cache: dict[str, Array],
+                    enc_mask: Array, pos: Array) -> tuple[Array, dict[str, Array]]:
+        """One beam-search step.
+
+        token: [B] int32 tokens at position ``pos`` (decoder *inputs*).
+        Returns masked logits [B, V] predicting position ``pos`` and the
+        updated cache.
+        """
+        c = self.cfg
+        x = self.decode_embed(token)[:, None]              # [B, 1, d]
+        hidden, cache = self.decoder.decode_step(x, cache, enc_mask, pos)
+        s = hidden[:, 0] * (c.d_model ** -0.5)             # [B, d]
+        logits = jnp.dot(s, self._head_weight(),
+                         preferred_element_type=jnp.float32)
+        if c.adaptor_decode:
+            a_t, cache = self.pawa.decode_step(x, cache, pos)
+            logits = logits + self.pawa.delta_logits(
+                a_t[:, 0], s).astype(jnp.float32)
+        logits = logits + jax.lax.dynamic_index_in_dim(
+            self.logit_mask, pos, axis=0, keepdims=False)
+        return logits, cache
+
+
+def shift_right(labels: Array, start_token: int = 0) -> Array:
+    """Labels → decoder inputs (decoder_start_token_id=0, ref main_models.py:754)."""
+    return jnp.concatenate(
+        [jnp.full_like(labels[:, :1], start_token), labels[:, :-1]], axis=1)
+
+
+def init_params(model: GenerativeRetriever, rng: jax.Array,
+                input_len: int = 8) -> dict:
+    c = model.cfg
+    dummy_inp = jnp.zeros((2, input_len), jnp.int32)
+    dummy_dec = jnp.zeros((2, c.max_output_length), jnp.int32)
+    mask = jnp.ones_like(dummy_inp)
+    dec_mask = jnp.ones_like(dummy_dec)
+    return model.init({"params": rng}, dummy_inp, mask, dummy_dec, dec_mask)

@@ -1,0 +1,385 @@
+"""A clean Flax implementation of the T5 encoder-decoder transformer.
+
+This is a ground-up TPU-first implementation of the architecture the
+reference consumes through its vendored HuggingFace 3.4.0 fork
+(GDR_model/transformers/modeling_t5.py): RMS layer norm, relative position
+bias shared across layers, pre-LN blocks, ReLU feed-forward, no biases in
+projections, and asymmetric encoder/decoder depth
+(ref modeling_t5.py:1201-1219).
+
+Two properties matter for the retrieval workload and differ from the
+reference's runtime behavior:
+
+- **Explicit functional KV caches.**  The reference decodes with
+  ``use_cache=False`` (main_models.py:1361,1383), re-running the full decoder
+  every beam step.  Here every attention layer threads an explicit
+  ``(k, v)`` cache so the beam decoder is a ``lax.scan`` whose carried state
+  includes the caches — no host sync, no recompute.
+- **Static shapes everywhere** so XLA can tile the matmuls on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+NEG_INF = -1e9
+
+
+class RMSNorm(nn.Module):
+    """T5-style layer norm: no mean subtraction, no bias."""
+
+    epsilon: float = 1e-6
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        y = x * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale).astype(self.dtype)
+
+
+def relative_position_bucket(relative_position: Array, bidirectional: bool,
+                             num_buckets: int, max_distance: int) -> Array:
+    """Standard T5 log-bucketing of relative positions (mem_pos - query_pos)."""
+    ret = jnp.zeros_like(relative_position)
+    n = -relative_position
+    if bidirectional:
+        num_buckets //= 2
+        ret = ret + (n < 0).astype(jnp.int32) * num_buckets
+        n = jnp.abs(n)
+    else:
+        n = jnp.maximum(n, 0)
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    val_if_large = max_exact + (
+        jnp.log(n.astype(jnp.float32) / max_exact + 1e-6)
+        / jnp.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    val_if_large = jnp.minimum(val_if_large, num_buckets - 1)
+    return ret + jnp.where(is_small, n, val_if_large)
+
+
+class RelativePositionBias(nn.Module):
+    """Shared relative attention bias (one table per stack, as in T5)."""
+
+    num_heads: int
+    num_buckets: int = 32
+    max_distance: int = 128
+    bidirectional: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, qlen: int, klen: int, q_offset: Array | int = 0) -> Array:
+        """Returns bias [1, heads, qlen, klen].  ``q_offset`` supports
+        incremental decoding (query positions start at offset)."""
+        table = self.param("rel_embedding", nn.initializers.normal(0.02),
+                           (self.num_buckets, self.num_heads), jnp.float32)
+        context_pos = jnp.arange(qlen)[:, None] + q_offset
+        memory_pos = jnp.arange(klen)[None, :]
+        rel = memory_pos - context_pos                     # [qlen, klen]
+        buckets = relative_position_bucket(
+            rel, self.bidirectional, self.num_buckets, self.max_distance)
+        bias = table[buckets]                              # [qlen, klen, heads]
+        return jnp.transpose(bias, (2, 0, 1))[None].astype(self.dtype)
+
+
+class Attention(nn.Module):
+    """Multi-head attention with optional explicit KV cache.
+
+    T5 convention: no 1/sqrt(d_kv) query scaling (folded into init).
+    """
+
+    d_model: int
+    num_heads: int
+    d_kv: int
+    dropout_rate: float = 0.0
+    dtype: Any = jnp.float32
+
+    def setup(self) -> None:
+        inner = self.num_heads * self.d_kv
+        dense = lambda name: nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                                      kernel_init=nn.initializers.normal(0.02),
+                                      name=name)
+        self.q = dense("q")
+        self.k = dense("k")
+        self.v = dense("v")
+        self.o = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
+                          kernel_init=nn.initializers.normal(0.02), name="o")
+        self.attn_dropout = nn.Dropout(self.dropout_rate)
+
+    def _split(self, x: Array) -> Array:
+        b, l, _ = x.shape
+        return x.reshape(b, l, self.num_heads, self.d_kv).transpose(0, 2, 1, 3)
+
+    def _merge(self, x: Array) -> Array:
+        b, h, l, d = x.shape
+        return x.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+
+    def _attend(self, q: Array, k: Array, v: Array, mask: Optional[Array],
+                bias: Optional[Array], deterministic: bool) -> Array:
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        if bias is not None:
+            scores = scores + bias.astype(jnp.float32)
+        if mask is not None:
+            scores = jnp.where(mask, scores, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        probs = self.attn_dropout(probs, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        return self.o(self._merge(out))
+
+    def __call__(self, x: Array, kv: Optional[Array] = None,
+                 mask: Optional[Array] = None, bias: Optional[Array] = None,
+                 deterministic: bool = True) -> Array:
+        """Full (non-incremental) attention.  ``kv`` → cross-attention source.
+
+        mask: broadcastable to [B, 1, Q, K], True = attend.
+        """
+        src = x if kv is None else kv
+        q = self._split(self.q(x))
+        k = self._split(self.k(src))
+        v = self._split(self.v(src))
+        return self._attend(q, k, v, mask, bias, deterministic)
+
+    def precompute_kv(self, kv_src: Array) -> tuple[Array, Array]:
+        """Project a cross-attention source once (e.g. encoder output)."""
+        return self._split(self.k(kv_src)), self._split(self.v(kv_src))
+
+    def decode_step(self, x_t: Array, cache_k: Array, cache_v: Array,
+                    pos: Array, key_mask: Optional[Array] = None,
+                    bias_row: Optional[Array] = None,
+                    update_cache: bool = True) -> tuple[Array, Array, Array]:
+        """One-token attention against a cache.
+
+        x_t: [B, 1, d_model]; cache_[kv]: [B, H, Lmax, d_kv]; pos: scalar int.
+        If ``update_cache``, the new token's k/v are written at ``pos`` and
+        attention spans positions ≤ pos (causal self-attention).  Otherwise
+        the cache is a fixed cross-attention source masked by ``key_mask``
+        [B, K].  ``bias_row``: [1, H, 1, Lmax] relative bias for this step.
+        Returns (out [B,1,d_model], cache_k, cache_v).
+        """
+        q = self._split(self.q(x_t))                       # [B, H, 1, dk]
+        if update_cache:
+            k_t = self._split(self.k(x_t))                 # [B, H, 1, dk]
+            v_t = self._split(self.v(x_t))
+            cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k_t, pos, axis=2)
+            cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v_t, pos, axis=2)
+            lmax = cache_k.shape[2]
+            causal = (jnp.arange(lmax) <= pos)[None, None, None, :]
+            mask = causal
+        else:
+            mask = None
+            if key_mask is not None:
+                mask = key_mask[:, None, None, :].astype(bool)
+        out = self._attend(q, cache_k, cache_v, mask, bias_row, True)
+        return out, cache_k, cache_v
+
+
+class FeedForward(nn.Module):
+    d_model: int
+    d_ff: int
+    dropout_rate: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        h = nn.Dense(self.d_ff, use_bias=False, dtype=self.dtype,
+                     kernel_init=nn.initializers.normal(0.02), name="wi")(x)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        return nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
+                        kernel_init=nn.initializers.normal(0.02), name="wo")(h)
+
+
+class EncoderBlock(nn.Module):
+    d_model: int
+    num_heads: int
+    d_kv: int
+    d_ff: int
+    dropout_rate: float = 0.0
+    layer_norm_epsilon: float = 1e-6
+    dtype: Any = jnp.float32
+
+    def setup(self) -> None:
+        self.ln1 = RMSNorm(self.layer_norm_epsilon, self.dtype)
+        self.attn = Attention(self.d_model, self.num_heads, self.d_kv,
+                              self.dropout_rate, self.dtype)
+        self.ln2 = RMSNorm(self.layer_norm_epsilon, self.dtype)
+        self.ff = FeedForward(self.d_model, self.d_ff, self.dropout_rate, self.dtype)
+        self.drop = nn.Dropout(self.dropout_rate)
+
+    def __call__(self, x: Array, mask: Optional[Array], bias: Optional[Array],
+                 deterministic: bool = True) -> Array:
+        h = self.attn(self.ln1(x), mask=mask, bias=bias, deterministic=deterministic)
+        x = x + self.drop(h, deterministic=deterministic)
+        h = self.ff(self.ln2(x), deterministic=deterministic)
+        return x + self.drop(h, deterministic=deterministic)
+
+
+class DecoderBlock(nn.Module):
+    d_model: int
+    num_heads: int
+    d_kv: int
+    d_ff: int
+    dropout_rate: float = 0.0
+    layer_norm_epsilon: float = 1e-6
+    dtype: Any = jnp.float32
+
+    def setup(self) -> None:
+        self.ln1 = RMSNorm(self.layer_norm_epsilon, self.dtype)
+        self.self_attn = Attention(self.d_model, self.num_heads, self.d_kv,
+                                   self.dropout_rate, self.dtype)
+        self.ln2 = RMSNorm(self.layer_norm_epsilon, self.dtype)
+        self.cross_attn = Attention(self.d_model, self.num_heads, self.d_kv,
+                                    self.dropout_rate, self.dtype)
+        self.ln3 = RMSNorm(self.layer_norm_epsilon, self.dtype)
+        self.ff = FeedForward(self.d_model, self.d_ff, self.dropout_rate, self.dtype)
+        self.drop = nn.Dropout(self.dropout_rate)
+
+    def __call__(self, x: Array, enc: Array, self_mask: Optional[Array],
+                 cross_mask: Optional[Array], bias: Optional[Array],
+                 deterministic: bool = True) -> Array:
+        h = self.self_attn(self.ln1(x), mask=self_mask, bias=bias,
+                           deterministic=deterministic)
+        x = x + self.drop(h, deterministic=deterministic)
+        h = self.cross_attn(self.ln2(x), kv=enc, mask=cross_mask,
+                            deterministic=deterministic)
+        x = x + self.drop(h, deterministic=deterministic)
+        h = self.ff(self.ln3(x), deterministic=deterministic)
+        return x + self.drop(h, deterministic=deterministic)
+
+    def decode_step(self, x_t: Array, self_k: Array, self_v: Array,
+                    cross_k: Array, cross_v: Array, enc_mask: Array,
+                    pos: Array, bias_row: Optional[Array]) -> tuple[Array, Array, Array]:
+        h, self_k, self_v = self.self_attn.decode_step(
+            self.ln1(x_t), self_k, self_v, pos, bias_row=bias_row,
+            update_cache=True)
+        x_t = x_t + h
+        h, _, _ = self.cross_attn.decode_step(
+            self.ln2(x_t), cross_k, cross_v, pos, key_mask=enc_mask,
+            update_cache=False)
+        x_t = x_t + h
+        h = self.ff(self.ln3(x_t), deterministic=True)
+        return x_t + h, self_k, self_v
+
+
+class Encoder(nn.Module):
+    num_layers: int
+    d_model: int
+    num_heads: int
+    d_kv: int
+    d_ff: int
+    dropout_rate: float = 0.0
+    layer_norm_epsilon: float = 1e-6
+    relative_attention_num_buckets: int = 32
+    relative_attention_max_distance: int = 128
+    dtype: Any = jnp.float32
+
+    def setup(self) -> None:
+        self.rel_bias = RelativePositionBias(
+            self.num_heads, self.relative_attention_num_buckets,
+            self.relative_attention_max_distance, bidirectional=True,
+            dtype=self.dtype)
+        self.blocks = [
+            EncoderBlock(self.d_model, self.num_heads, self.d_kv, self.d_ff,
+                         self.dropout_rate, self.layer_norm_epsilon, self.dtype,
+                         name=f"block_{i}")
+            for i in range(self.num_layers)
+        ]
+        self.final_norm = RMSNorm(self.layer_norm_epsilon, self.dtype)
+        self.drop = nn.Dropout(self.dropout_rate)
+
+    def __call__(self, x: Array, attn_mask: Array,
+                 deterministic: bool = True) -> Array:
+        """x: embedded inputs [B, L, d]; attn_mask: [B, L] (1 = real token)."""
+        l = x.shape[1]
+        bias = self.rel_bias(l, l)
+        mask = attn_mask[:, None, None, :].astype(bool)
+        x = self.drop(x, deterministic=deterministic)
+        for blk in self.blocks:
+            x = blk(x, mask, bias, deterministic=deterministic)
+        return self.drop(self.final_norm(x), deterministic=deterministic)
+
+
+class Decoder(nn.Module):
+    num_layers: int
+    d_model: int
+    num_heads: int
+    d_kv: int
+    d_ff: int
+    dropout_rate: float = 0.0
+    layer_norm_epsilon: float = 1e-6
+    relative_attention_num_buckets: int = 32
+    relative_attention_max_distance: int = 128
+    dtype: Any = jnp.float32
+
+    def setup(self) -> None:
+        self.rel_bias = RelativePositionBias(
+            self.num_heads, self.relative_attention_num_buckets,
+            self.relative_attention_max_distance, bidirectional=False,
+            dtype=self.dtype)
+        self.blocks = [
+            DecoderBlock(self.d_model, self.num_heads, self.d_kv, self.d_ff,
+                         self.dropout_rate, self.layer_norm_epsilon, self.dtype,
+                         name=f"block_{i}")
+            for i in range(self.num_layers)
+        ]
+        self.final_norm = RMSNorm(self.layer_norm_epsilon, self.dtype)
+        self.drop = nn.Dropout(self.dropout_rate)
+
+    def __call__(self, x: Array, enc: Array, self_attn_mask: Array,
+                 enc_mask: Array, deterministic: bool = True) -> Array:
+        """Full teacher-forced decode.
+
+        x: embedded decoder inputs [B, L, d]; self_attn_mask: [B, L];
+        enc: [B, S, d]; enc_mask: [B, S].
+        """
+        l = x.shape[1]
+        bias = self.rel_bias(l, l)
+        causal = jnp.tril(jnp.ones((l, l), dtype=bool))
+        self_mask = causal[None, None] & self_attn_mask[:, None, None, :].astype(bool)
+        cross_mask = enc_mask[:, None, None, :].astype(bool)
+        x = self.drop(x, deterministic=deterministic)
+        for blk in self.blocks:
+            x = blk(x, enc, self_mask, cross_mask, bias,
+                    deterministic=deterministic)
+        return self.drop(self.final_norm(x), deterministic=deterministic)
+
+    # ---- incremental decoding ----------------------------------------------
+
+    def init_cache(self, batch: int, max_len: int, enc: Array
+                   ) -> dict[str, Array]:
+        """Build the functional cache pytree: per-layer self k/v buffers and
+        precomputed cross-attention k/v from the encoder output."""
+        cache = {}
+        for i, blk in enumerate(self.blocks):
+            ck, cv = blk.cross_attn.precompute_kv(enc)
+            cache[f"self_k_{i}"] = jnp.zeros(
+                (batch, self.num_heads, max_len, self.d_kv), self.dtype)
+            cache[f"self_v_{i}"] = jnp.zeros(
+                (batch, self.num_heads, max_len, self.d_kv), self.dtype)
+            cache[f"cross_k_{i}"] = ck
+            cache[f"cross_v_{i}"] = cv
+        return cache
+
+    def decode_step(self, x_t: Array, cache: dict[str, Array], enc_mask: Array,
+                    pos: Array) -> tuple[Array, dict[str, Array]]:
+        """One decode step.  x_t: [B, 1, d] embedded token at position pos."""
+        lmax = cache["self_k_0"].shape[2]
+        bias_row = self.rel_bias(1, lmax, q_offset=pos)    # [1, H, 1, Lmax]
+        cache = dict(cache)
+        for i, blk in enumerate(self.blocks):
+            x_t, sk, sv = blk.decode_step(
+                x_t, cache[f"self_k_{i}"], cache[f"self_v_{i}"],
+                cache[f"cross_k_{i}"], cache[f"cross_v_{i}"], enc_mask,
+                pos, bias_row)
+            cache[f"self_k_{i}"] = sk
+            cache[f"self_v_{i}"] = sv
+        return self.final_norm(x_t), cache

@@ -1,0 +1,88 @@
+"""Loss functions: masked CE, R-Drop consistency, cluster-adaptive InfoNCE.
+
+All losses are pure functions of arrays (no module state) so they can be
+combined freely inside one jitted train step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def masked_cross_entropy(logits: Array, labels: Array, label_mask: Array) -> Array:
+    """Token-level CE averaged over valid positions.
+
+    Matches ``CrossEntropyLoss(ignore_index=-100)`` semantics used for the
+    CID generation loss (ref modeling_t5.py:1656,1701): mean over non-padding
+    label positions.  logits: [B, L, V]; labels: [B, L]; label_mask: [B, L].
+    """
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ll = jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32),
+                             axis=-1)[..., 0]
+    mask = label_mask.astype(jnp.float32)
+    return -(ll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+
+def rdrop_contrast_loss(decoder_hidden: Array, label_mask: Array) -> Array:
+    """R-Drop "Contrast" consistency (ref modeling_t5.py:1666-1680).
+
+    The batch holds two dropout realisations of the same examples stacked as
+    [x; x'] (ref main_models.py:925-944).  Per decode position, decoder
+    hidden states across the doubled batch are dot-scored against each other
+    (diagonal masked out) and each realisation must pick its twin —
+    in-batch InfoNCE between the halves.
+
+    The reference feeds softmax outputs into ``CrossEntropyLoss`` (a double
+    softmax, modeling_t5.py:1675-1679); we apply CE to the logits directly —
+    the intended consistency objective.
+
+    decoder_hidden: [2b, L, d] (already d**-0.5-scaled); label_mask: [2b, L].
+    """
+    bz = decoder_hidden.shape[0]
+    b = bz // 2
+    h = decoder_hidden.astype(jnp.float32)
+    # [L, 2b, 2b] similarity per position
+    sims = jnp.einsum("bld,cld->lbc", h, h)
+    diag = jnp.eye(bz, dtype=bool)[None]
+    sims = jnp.where(diag, -1e9, sims)
+    labels = jnp.concatenate([jnp.arange(b, bz), jnp.arange(0, b)])
+    logp = jax.nn.log_softmax(sims, axis=-1)
+    picked = logp[:, jnp.arange(bz), labels]               # [L, 2b]
+    mask = label_mask.T.astype(jnp.float32)                # [L, 2b]
+    return -(picked * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+
+def cluster_infonce(query: Array, positive: Array, candidates: Array,
+                    candidate_mask: Array, tau: float = 0.05,
+                    intra_rate: float = 1.0, squash: str = "tanh") -> Array:
+    """Cluster-adaptive contrastive loss over the dual-encoder space.
+
+    Exact semantics of ``encoder_cal`` (main_models.py:1184-1221): similarity
+    is ``squash(q·d)`` (tanh by default, bounding the logits); the positive's
+    own-cluster candidates form the *intra* denominator and every other
+    query's candidates the *inter* denominator, weighted by ``intra_rate``:
+
+        loss_i = −s(q_i,p_i)/τ + log(intra_rate·Σ intra e^{s/τ} + Σ inter e^{s/τ})
+
+    With ``intra_rate == 1`` this reduces to the reference's fused path
+    (denominator over all candidates, positives excluded).
+
+    query, positive: [B, d]; candidates: [B, C, d] (each row = same-cluster
+    docs of query b, including its positive); candidate_mask: [B, C].
+    """
+    fn = jnp.tanh if squash == "tanh" else jax.nn.sigmoid
+    q = query.astype(jnp.float32)
+    pos_sim = fn(jnp.einsum("bd,bd->b", q, positive.astype(jnp.float32)))
+    sims = fn(jnp.einsum("bd,jcd->bjc", q, candidates.astype(jnp.float32)))
+    cmask = candidate_mask.astype(bool)[None]              # [1, B, C]
+    exp = jnp.where(cmask, jnp.exp(sims / tau), 0.0)       # [B, B, C]
+    b = q.shape[0]
+    own = jnp.eye(b, dtype=bool)[:, :, None]               # [B, B, 1]
+    intra = jnp.where(own, exp, 0.0).sum(axis=(1, 2))      # [B]
+    inter = jnp.where(own, 0.0, exp).sum(axis=(1, 2))      # [B]
+    denom = intra_rate * intra + inter
+    loss = -pos_sim / tau + jnp.log(jnp.maximum(denom, 1e-30))
+    return loss.mean()

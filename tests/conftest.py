@@ -7,7 +7,7 @@ Must run before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # override: outer env points at the TPU
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +16,13 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+import jax  # noqa: E402
+
+# Persistent compilation cache: repeated test runs skip XLA compilation,
+# critical on the single-core CI host.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 @pytest.fixture(scope="session")

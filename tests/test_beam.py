@@ -1,0 +1,139 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gdr_tpu.ops import codec
+from gdr_tpu.ops.beam import beam_search
+from gdr_tpu.ops.masks import positional_logit_mask
+from gdr_tpu.ops.trie import build_trie
+
+KARY = 3
+MAX_LEN = 4          # up to depth-3 CIDs + eos
+V = KARY * MAX_LEN + 2
+TABLE_SIZE = 1009
+
+
+@pytest.fixture(scope="module")
+def toy():
+    cid_to_docs = {
+        "0": [0],
+        "1-0": [1],
+        "1-2": [2, 3],
+        "2-1-0": [4],
+        "2-1-2": [5],
+        "2-2": [6],
+    }
+    trie = build_trie(cid_to_docs, kary=KARY, max_docs_per_cluster=4)
+    table = np.random.default_rng(3).normal(
+        size=(TABLE_SIZE, V)).astype(np.float32) * 2.0
+    mask = positional_logit_mask(KARY, MAX_LEN)
+    return trie, table, mask
+
+
+def mock_logits(table, mask, h, pos):
+    """Deterministic prefix-dependent logits + positional validity mask."""
+    return table[h % TABLE_SIZE] + mask[pos]
+
+
+def make_step_fn(table, mask):
+    table = jnp.asarray(table)
+    mask = jnp.asarray(mask)
+
+    def step_fn(cur_tok, cache, pos):
+        h = (cache["h"] * 31 + cur_tok) % TABLE_SIZE
+        logits = table[h % TABLE_SIZE] + mask[pos]
+        return logits, {"h": h}
+
+    return step_fn
+
+
+def brute_force(trie, table, mask, length_penalty):
+    """Enumerate every root-to-cluster path and score it exactly."""
+    results = []
+
+    def logp(h, pos):
+        row = mock_logits(table, mask, h, pos)
+        return row - np.log(np.exp(row - row.max()).sum()) - row.max()
+
+    def walk(node, path, h, cum):
+        # h is the rolling hash *after* consuming the token at pos len(path)-1
+        pos = len(path)
+        lp = logp(h, pos)
+        if trie.eos_allowed[node]:
+            total = cum + lp[codec.EOS_ID]
+            gen_len = len(path) + 1
+            results.append(("-".join(map(str, path)),
+                            total / gen_len ** length_penalty, total))
+        for d in range(KARY):
+            child = trie.children[node, d]
+            if child >= 0:
+                tok = pos * KARY + d + codec.TOKEN_OFFSET
+                walk(int(child), path + [d], (h * 31 + tok) % TABLE_SIZE,
+                     cum + lp[tok])
+
+    walk(0, [], (0 * 31 + 0) % TABLE_SIZE, 0.0)
+    results.sort(key=lambda r: -r[1])
+    return results
+
+
+@pytest.mark.parametrize("length_penalty", [1.0, 0.8])
+def test_beam_matches_brute_force(toy, length_penalty):
+    trie, table, mask = toy
+    num_paths = 6
+    K = num_paths          # full-width beam → exact enumeration
+    step_fn = make_step_fn(table, mask)
+    cache = {"h": jnp.zeros((K,), jnp.int32)}
+    res = beam_search(step_fn, cache, batch=1, num_beams=K, kary=KARY,
+                      max_len=MAX_LEN, children=jnp.asarray(trie.children),
+                      eos_allowed=jnp.asarray(trie.eos_allowed),
+                      length_penalty=length_penalty)
+    expected = brute_force(trie, table, mask, length_penalty)
+
+    got_cids = [codec.decode_tokens(np.asarray(res.sequences[0, k]), KARY)
+                for k in range(K)]
+    exp_cids = [cid for cid, _, _ in expected]
+    assert got_cids == exp_cids
+    np.testing.assert_allclose(
+        np.asarray(res.scores[0]), [s for _, s, _ in expected], rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(res.cum_logprobs[0]), [c for _, _, c in expected], rtol=1e-3, atol=1e-3)
+    # nodes point at the right clusters
+    for k, cid in enumerate(got_cids):
+        digits = [int(c) for c in cid.split("-")]
+        assert int(res.nodes[0, k]) == trie.node_of_path(digits)
+    assert np.asarray(res.valid[0]).all()
+
+
+def test_beam_narrow_returns_distinct_valid_cids(toy):
+    trie, table, mask = toy
+    K = 3
+    step_fn = make_step_fn(table, mask)
+    cache = {"h": jnp.zeros((2 * K,), jnp.int32)}
+    res = beam_search(step_fn, cache, batch=2, num_beams=K, kary=KARY,
+                      max_len=MAX_LEN, children=jnp.asarray(trie.children),
+                      eos_allowed=jnp.asarray(trie.eos_allowed))
+    all_cids = set(trie.id_mapping().keys())
+    for b in range(2):
+        cids = [codec.decode_tokens(np.asarray(res.sequences[b, k]), KARY)
+                for k in range(K)]
+        assert len(set(cids)) == K
+        assert set(cids) <= all_cids
+        # scores sorted descending
+        s = np.asarray(res.scores[b])
+        assert np.all(np.diff(s) <= 1e-6)
+
+
+def test_beam_wider_than_paths_marks_invalid(toy):
+    trie, table, mask = toy
+    K = 10                  # > 6 available paths
+    step_fn = make_step_fn(table, mask)
+    cache = {"h": jnp.zeros((K,), jnp.int32)}
+    res = beam_search(step_fn, cache, batch=1, num_beams=K, kary=KARY,
+                      max_len=MAX_LEN, children=jnp.asarray(trie.children),
+                      eos_allowed=jnp.asarray(trie.eos_allowed))
+    valid = np.asarray(res.valid[0])
+    assert valid.sum() == 6
+    cids = [codec.decode_tokens(np.asarray(res.sequences[0, k]), KARY)
+            for k in range(K) if valid[k]]
+    assert len(set(cids)) == 6

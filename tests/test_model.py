@@ -1,0 +1,133 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gdr_tpu.config import tiny_config
+from gdr_tpu.models.gdr import GenerativeRetriever, init_params, shift_right
+from gdr_tpu.ops import losses
+from gdr_tpu.ops.masks import positional_logit_mask
+
+CFG = tiny_config()
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = GenerativeRetriever(CFG.model)
+    params = init_params(model, jax.random.PRNGKey(0))
+    return model, params
+
+
+def _dummy_batch(b=2, s=8):
+    rng = np.random.default_rng(1)
+    input_ids = jnp.asarray(rng.integers(2, 100, size=(b, s)), jnp.int32)
+    attn = jnp.ones((b, s), jnp.int32)
+    L, kary = CFG.model.max_output_length, CFG.model.kary
+    labels = np.zeros((b, L), np.int32)
+    for i in range(b):
+        depth = 3
+        digits = rng.integers(0, kary, size=depth)
+        toks = [p * kary + int(d) + 2 for p, d in enumerate(digits)] + [1]
+        labels[i, :len(toks)] = toks
+    labels = jnp.asarray(labels)
+    label_mask = (labels != 0).astype(jnp.int32)
+    return input_ids, attn, labels, label_mask
+
+
+def test_forward_shapes(model_and_params):
+    model, params = model_and_params
+    input_ids, attn, labels, label_mask = _dummy_batch()
+    dec_in = shift_right(labels)
+    out = model.apply(params, input_ids, attn, dec_in, label_mask)
+    V = CFG.model.decode_vocab_size
+    L = CFG.model.max_output_length
+    assert out["logits"].shape == (2, L, V)
+    assert out["decoder_hidden"].shape == (2, L, CFG.model.d_model)
+    assert out["query_embedding"].shape == (2, CFG.model.d_model)
+    assert np.all(np.isfinite(np.asarray(out["logits"][:, :, 1])))
+
+
+def test_positional_mask_applied(model_and_params):
+    model, params = model_and_params
+    input_ids, attn, labels, label_mask = _dummy_batch()
+    out = model.apply(params, input_ids, attn, shift_right(labels), label_mask)
+    logits = np.asarray(out["logits"])
+    mask = positional_logit_mask(CFG.model.kary, CFG.model.max_output_length)
+    # invalid entries must be ≤ -1e8 after masking
+    assert np.all(logits[:, mask < 0] < -1e8)
+    assert np.all(logits[:, mask == 0] > -1e8)
+
+
+def test_incremental_decode_matches_full(model_and_params):
+    """KV-cached step-by-step decode must reproduce teacher-forced logits."""
+    model, params = model_and_params
+    input_ids, attn, labels, label_mask = _dummy_batch()
+    L = CFG.model.max_output_length
+    dec_in = shift_right(labels)
+
+    @jax.jit
+    def full_fn(params, input_ids, attn, dec_in, dec_mask):
+        return model.apply(params, input_ids, attn, dec_in, dec_mask)["logits"]
+
+    @jax.jit
+    def incremental_fn(params, input_ids, attn, dec_in):
+        enc = model.apply(params, input_ids, attn, method=model.encode)
+        cache = model.apply(params, enc, L, method=model.init_cache)
+
+        def body(cache, pos):
+            logits, cache = model.apply(params, dec_in[:, pos], cache, attn,
+                                        pos, method=model.decode_step)
+            return cache, logits
+
+        _, logits = jax.lax.scan(body, cache, jnp.arange(L))
+        return logits.transpose(1, 0, 2)
+
+    full_logits = np.asarray(full_fn(params, input_ids, attn, dec_in,
+                                     jnp.ones_like(label_mask)))
+    step_logits = np.asarray(incremental_fn(params, input_ids, attn, dec_in))
+    np.testing.assert_allclose(step_logits, full_logits, rtol=2e-3, atol=2e-3)
+
+
+def test_masked_cross_entropy():
+    logits = jnp.asarray([[[0.0, 10.0, 0.0], [10.0, 0.0, 0.0]]])
+    labels = jnp.asarray([[1, 0]])
+    mask = jnp.asarray([[1, 0]])
+    loss = losses.masked_cross_entropy(logits, labels, mask)
+    assert float(loss) < 1e-3  # only position 0 counts and it is correct
+
+
+def test_rdrop_contrast_loss_prefers_aligned_twins():
+    rng = np.random.default_rng(0)
+    b, L, d = 4, 3, 8
+    h = rng.normal(size=(b, L, d)).astype(np.float32)
+    aligned = jnp.asarray(np.concatenate([h, h * 1.01], axis=0))
+    shuffled = jnp.asarray(np.concatenate([h, rng.normal(size=h.shape)], axis=0))
+    mask = jnp.ones((2 * b, L))
+    l_aligned = losses.rdrop_contrast_loss(aligned * 10, mask)
+    l_shuffled = losses.rdrop_contrast_loss(shuffled * 10, mask)
+    assert float(l_aligned) < float(l_shuffled)
+
+
+def test_cluster_infonce_decreases_with_better_alignment():
+    rng = np.random.default_rng(0)
+    b, c, d = 3, 4, 8
+    q = rng.normal(size=(b, d)).astype(np.float32)
+    cands = rng.normal(size=(b, c, d)).astype(np.float32)
+    cmask = np.ones((b, c))
+    good = losses.cluster_infonce(jnp.asarray(q), jnp.asarray(q * 2),
+                                  jnp.asarray(cands), jnp.asarray(cmask))
+    bad = losses.cluster_infonce(jnp.asarray(q), jnp.asarray(-q * 2),
+                                 jnp.asarray(cands), jnp.asarray(cmask))
+    assert float(good) < float(bad)
+
+
+def test_cluster_infonce_intra_rate_changes_loss():
+    rng = np.random.default_rng(0)
+    b, c, d = 3, 4, 8
+    q = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+    pos = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+    cands = jnp.asarray(rng.normal(size=(b, c, d)), jnp.float32)
+    cmask = jnp.ones((b, c))
+    l1 = losses.cluster_infonce(q, pos, cands, cmask, intra_rate=1.0)
+    l2 = losses.cluster_infonce(q, pos, cands, cmask, intra_rate=0.1)
+    assert not np.isclose(float(l1), float(l2))
