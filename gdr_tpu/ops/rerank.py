@@ -1,0 +1,85 @@
+"""Stage 2: dense re-rank of in-cluster documents + score fusion.
+
+Reference behavior (main_models.py:1434-1637): each generated CID expands to
+its documents via ``id_mapping``; every candidate doc is scored
+``tanh(q·d)`` against the query embedding; the final score per fusion weight
+α adds ``α · softmax(beam_scores)[beam]`` of the beam that produced the doc's
+cluster; top ``num_return_sequences`` docs are kept per α.
+
+The reference does this with host Python loops over ragged per-cluster doc
+lists.  Here the expansion is a static-shape gather through the trie's padded
+cluster table — ``[B, K, cap]`` candidates — and the whole α-sweep is one
+vectorised top-k.  Documents belong to exactly one cluster and beams are
+distinct clusters, so no dedup is needed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+NEG_INF = -1.0e9
+
+
+@dataclass
+class RerankResult:
+    doc_ids: Array       # [A, B, R] int32 — top docs per fusion weight
+    scores: Array        # [A, B, R] float32 — fused scores
+    doc_valid: Array     # [A, B, R] bool
+    cluster_probs: Array  # [B, K] — softmax over beam scores (fusion term)
+
+
+def expand_candidates(nodes: Array, valid: Array, cluster_of_node: Array,
+                      cluster_docs: Array, cluster_doc_mask: Array
+                      ) -> tuple[Array, Array]:
+    """Beam cluster nodes → padded candidate doc ids.
+
+    nodes/valid: [B, K]; returns (docs [B, K, cap], mask [B, K, cap]).
+    """
+    rows = cluster_of_node[nodes]                          # [B, K]
+    ok = valid & (rows >= 0)
+    rows = jnp.maximum(rows, 0)
+    docs = cluster_docs[rows]                              # [B, K, cap]
+    mask = cluster_doc_mask[rows] & ok[..., None]
+    return docs, mask
+
+
+def rerank(doc_store: Array, query_emb: Array, nodes: Array,
+           beam_scores: Array, valid: Array, cluster_of_node: Array,
+           cluster_docs: Array, cluster_doc_mask: Array, alphas: Array,
+           top_r: int, squash: str = "tanh") -> RerankResult:
+    """Fused dense re-rank + α-sweep.
+
+    doc_store: [N, d] document embeddings (precomputed stage 1, or live
+    dual-encoder output in stage 2).  query_emb: [B, d].  nodes/beam_scores/
+    valid: [B, K] from the beam search (scores length-normalised).
+    """
+    fn = jnp.tanh if squash == "tanh" else jax.nn.sigmoid
+    docs, mask = expand_candidates(nodes, valid, cluster_of_node,
+                                   cluster_docs, cluster_doc_mask)
+    b, k, cap = docs.shape
+
+    # beam probability: softmax over valid beams (ref main_models.py:1600-1604)
+    probs = jax.nn.softmax(
+        jnp.where(valid, beam_scores, NEG_INF).astype(jnp.float32), axis=-1)
+
+    cand_emb = doc_store[docs.reshape(b, -1)].reshape(b, k, cap, -1)
+    sim = fn(jnp.einsum("bd,bkcd->bkc", query_emb.astype(jnp.float32),
+                        cand_emb.astype(jnp.float32)))
+    sim = jnp.where(mask, sim, NEG_INF)
+
+    fused = sim[None] + alphas[:, None, None, None] * probs[None, :, :, None]
+    fused = jnp.where(mask[None], fused, NEG_INF)          # [A, B, K, cap]
+
+    flat = fused.reshape(len(alphas), b, k * cap)
+    top_scores, top_idx = jax.lax.top_k(flat, top_r)       # [A, B, R]
+    flat_docs = jnp.broadcast_to(docs.reshape(1, b, k * cap),
+                                 flat.shape)
+    top_docs = jnp.take_along_axis(flat_docs, top_idx, axis=-1)
+    doc_valid = top_scores > NEG_INF / 2
+    return RerankResult(doc_ids=top_docs.astype(jnp.int32),
+                        scores=top_scores, doc_valid=doc_valid,
+                        cluster_probs=probs)

@@ -1,0 +1,76 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gdr_tpu.ops.kmeans import (hierarchical_kmeans, kmeans_fit,
+                                paths_to_cid_mapping)
+
+
+def _blobs(rng, centers, per, dim=8, scale=0.05):
+    pts, labels = [], []
+    for i, c in enumerate(centers):
+        pts.append(c + rng.normal(size=(per, dim)) * scale)
+        labels += [i] * per
+    return np.concatenate(pts).astype(np.float32), np.array(labels)
+
+
+def test_kmeans_fit_separable_blobs(rng):
+    dim = 8
+    centers = rng.normal(size=(4, dim)) * 5
+    X, labels = _blobs(rng, centers, per=16, dim=dim)
+    mask = np.ones(len(X), bool)
+    cent, assign = kmeans_fit(jnp.asarray(X), jnp.asarray(mask), 4, 20,
+                              jax.random.PRNGKey(0))
+    assign = np.asarray(assign)
+    # every true blob maps to exactly one predicted cluster
+    for i in range(4):
+        blob_assign = assign[labels == i]
+        assert len(np.unique(blob_assign)) == 1
+    # distinct blobs → distinct clusters
+    assert len({int(assign[labels == i][0]) for i in range(4)}) == 4
+
+
+def test_kmeans_fit_respects_mask(rng):
+    dim = 4
+    X = np.zeros((64, dim), np.float32)
+    X[:8] = rng.normal(size=(8, dim)).astype(np.float32) + 10
+    mask = np.zeros(64, bool)
+    mask[:8] = True  # padded rows at origin must not pull centroids
+    cent, _ = kmeans_fit(jnp.asarray(X), jnp.asarray(mask), 2, 10,
+                         jax.random.PRNGKey(1))
+    cent = np.asarray(cent)
+    assert np.all(np.linalg.norm(cent, axis=1) > 5)
+
+
+def test_hierarchical_kmeans_structure(rng):
+    dim = 8
+    top_centers = rng.normal(size=(3, dim)) * 20
+    X, top_labels = _blobs(rng, top_centers, per=40, dim=dim, scale=1.0)
+    paths = hierarchical_kmeans(X, kary=3, leaf_cap=10, iters=15, seed=0)
+    assert len(paths) == len(X)
+    # every doc got a path; same top-level blob → same first digit
+    for i in range(3):
+        first_digits = {paths[j][0] for j in range(len(X)) if top_labels[j] == i}
+        assert len(first_digits) == 1
+    # leaves respect the cap
+    mapping = paths_to_cid_mapping(paths)
+    for cid, docs in mapping.items():
+        assert len(docs) <= 10
+    # GDR mode: docs share CIDs (clusters, not unique docids)
+    assert any(len(d) > 1 for d in mapping.values())
+
+
+def test_hierarchical_kmeans_doc_level_suffix(rng):
+    X = rng.normal(size=(50, 4)).astype(np.float32)
+    paths = hierarchical_kmeans(X, kary=4, leaf_cap=8, iters=10, seed=0,
+                                doc_level_suffix=True)
+    mapping = paths_to_cid_mapping(paths)
+    # NCI mode: every doc unique (except singleton-leaf short-circuit)
+    assert all(len(d) == 1 for d in mapping.values())
+
+
+def test_small_input_short_circuit():
+    X = np.random.default_rng(0).normal(size=(3, 4)).astype(np.float32)
+    paths = hierarchical_kmeans(X, kary=8, leaf_cap=2, iters=5, seed=0)
+    cids = {"-".join(map(str, p)) for p in paths}
+    assert len(cids) == 3  # enumerated directly, n <= kary

@@ -1,0 +1,88 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gdr_tpu.ops.rerank import expand_candidates, rerank
+from gdr_tpu.ops.trie import build_trie, compute_node_embeddings
+
+KARY = 3
+DIM = 8
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(5)
+    cid_to_docs = {"0": [0, 1], "1-0": [2], "1-1": [3, 4, 5], "2": [6, 7]}
+    trie = build_trie(cid_to_docs, kary=KARY, max_docs_per_cluster=4)
+    store = rng.normal(size=(8, DIM)).astype(np.float32)
+    return trie, store
+
+
+def brute_rerank(trie, store, q, cids, beam_scores, alphas, top_r):
+    """Reference-style host implementation (main_models.py:1577-1637)."""
+    probs = np.exp(beam_scores - beam_scores.max())
+    probs = probs / probs.sum()
+    out = []
+    for a in alphas:
+        scored = []
+        for k, cid in enumerate(cids):
+            for doc in trie.docs_of_cid(cid):
+                s = float(np.tanh(q @ store[doc]) + a * probs[k])
+                scored.append((s, doc))
+        scored.sort(key=lambda x: -x[0])
+        out.append([d for _, d in scored[:top_r]])
+    return out
+
+
+def test_expand_candidates(setup):
+    trie, _ = setup
+    n10 = trie.node_of_path([1, 0])
+    n2 = trie.node_of_path([2])
+    nodes = jnp.asarray([[n10, n2]])
+    valid = jnp.asarray([[True, True]])
+    docs, mask = expand_candidates(
+        nodes, valid, jnp.asarray(trie.cluster_of_node),
+        jnp.asarray(trie.cluster_docs), jnp.asarray(trie.cluster_doc_mask))
+    got = set(int(d) for d, m in zip(np.asarray(docs).ravel(),
+                                     np.asarray(mask).ravel()) if m)
+    assert got == {2, 6, 7}
+
+
+def test_rerank_matches_reference_semantics(setup):
+    trie, store = setup
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=DIM).astype(np.float32)
+    cids = ["1-1", "0", "2"]
+    nodes = [[trie.node_of_path([int(c) for c in cid.split("-")]) for cid in cids]]
+    beam_scores = np.asarray([[-0.1, -0.8, -1.5]], np.float32)
+    alphas = np.asarray([0.0, 1.0, 3.0], np.float32)
+    res = rerank(jnp.asarray(store), jnp.asarray(q[None]),
+                 jnp.asarray(nodes), jnp.asarray(beam_scores),
+                 jnp.asarray([[True, True, True]]),
+                 jnp.asarray(trie.cluster_of_node),
+                 jnp.asarray(trie.cluster_docs),
+                 jnp.asarray(trie.cluster_doc_mask),
+                 jnp.asarray(alphas), top_r=5)
+    expected = brute_rerank(trie, store, q, cids, beam_scores[0], alphas, 5)
+    for a in range(len(alphas)):
+        got = [int(d) for d, v in zip(np.asarray(res.doc_ids[a, 0]),
+                                      np.asarray(res.doc_valid[a, 0])) if v]
+        assert got == expected[a], f"alpha={alphas[a]}"
+
+
+def test_rerank_invalid_beams_excluded(setup):
+    trie, store = setup
+    q = np.zeros(DIM, np.float32)
+    n0 = trie.node_of_path([0])
+    nodes = jnp.asarray([[n0, n0]])
+    valid = jnp.asarray([[True, False]])  # second beam dead
+    res = rerank(jnp.asarray(store), jnp.asarray(q[None]), nodes,
+                 jnp.asarray([[-0.5, -0.5]], np.float32), valid,
+                 jnp.asarray(trie.cluster_of_node),
+                 jnp.asarray(trie.cluster_docs),
+                 jnp.asarray(trie.cluster_doc_mask),
+                 jnp.asarray([0.0], np.float32), top_r=8)
+    v = np.asarray(res.doc_valid[0, 0])
+    assert v.sum() == 2  # only docs 0,1 from the single valid beam
+    # cluster probs: dead beam gets 0
+    np.testing.assert_allclose(np.asarray(res.cluster_probs[0]), [1.0, 0.0])
