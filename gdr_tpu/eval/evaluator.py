@@ -1,0 +1,122 @@
+"""End-to-end retrieval evaluation: beam decode → expand → re-rank → metrics.
+
+The device side (one jitted program per batch shape) mirrors
+``validation_step_i`` (main_models.py:1337-1642); the host side only decodes
+CID strings and accumulates the metric suite like ``validation_epoch_end``
+(main_models.py:1644-1917): cluster-level metrics over generated CIDs and
+doc-level metrics per fusion weight α, with ``recall1`` (α = 0) as the
+checkpoint monitor (main.py:73-82).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gdr_tpu.config import EvalConfig
+from gdr_tpu.eval import metrics as M
+from gdr_tpu.ops.beam import generate_cids
+from gdr_tpu.ops.codec import decode_token_batch
+from gdr_tpu.ops.rerank import rerank
+from gdr_tpu.ops.trie import TrieTensors
+
+
+@dataclass
+class EvalData:
+    """Host-side eval set.  ``gt_docs[q]``: ground-truth doc-id strings;
+    ``gt_cids[q]``: ground-truth CID strings (multi-positive rows supported,
+    ref main_utils.py:282-375)."""
+
+    input_ids: np.ndarray        # [Q, S]
+    attn_mask: np.ndarray        # [Q, S]
+    gt_docs: list[list[str]]
+    gt_cids: list[list[str]]
+
+
+class Evaluator:
+    def __init__(self, model, trie: TrieTensors, store, cfg: EvalConfig):
+        self.model = model
+        self.trie = trie
+        self.cfg = cfg
+        self.store = jnp.asarray(store)
+        self._children = jnp.asarray(trie.children)
+        self._eos = jnp.asarray(trie.eos_allowed)
+        self._cluster_of_node = jnp.asarray(trie.cluster_of_node)
+        self._cluster_docs = jnp.asarray(trie.cluster_docs)
+        self._cluster_doc_mask = jnp.asarray(trie.cluster_doc_mask)
+        self._alphas = jnp.asarray(np.asarray(cfg.score_rates, np.float32))
+        self._retrieve = jax.jit(self._retrieve_impl)
+
+    def _retrieve_impl(self, params, input_ids, attn_mask, store):
+        cfg = self.cfg
+        res, q_emb = generate_cids(
+            self.model, params, input_ids, attn_mask, self._children,
+            self._eos, cfg.num_beams, cfg.max_output_length,
+            cfg.length_penalty)
+        rr = rerank(store, q_emb, res.nodes, res.scores, res.valid,
+                    self._cluster_of_node, self._cluster_docs,
+                    self._cluster_doc_mask, self._alphas,
+                    top_r=cfg.num_return_sequences)
+        return res, rr
+
+    def retrieve(self, params, input_ids, attn_mask):
+        """Single-batch retrieval; returns (BeamResult, RerankResult)."""
+        return self._retrieve(params, jnp.asarray(input_ids),
+                              jnp.asarray(attn_mask), self.store)
+
+    def evaluate(self, params, data: EvalData, batch_size: int = 8,
+                 kary: int | None = None) -> dict[str, float]:
+        kary = kary or self.trie.kary
+        nq = len(data.input_ids)
+        cluster_preds: dict[int, list[str]] = {}
+        doc_preds: dict[int, dict[float, list[str]]] = {}
+
+        for start in range(0, nq, batch_size):
+            end = min(start + batch_size, nq)
+            pad = batch_size - (end - start)
+            ids = np.concatenate(
+                [data.input_ids[start:end]] +
+                ([data.input_ids[start:start + 1]] * pad if pad else []))
+            msk = np.concatenate(
+                [data.attn_mask[start:end]] +
+                ([data.attn_mask[start:start + 1]] * pad if pad else []))
+            res, rr = self.retrieve(params, ids, msk)
+            seqs = np.asarray(res.sequences)
+            valid = np.asarray(res.valid)
+            doc_ids = np.asarray(rr.doc_ids)
+            doc_valid = np.asarray(rr.doc_valid)
+            for b in range(end - start):
+                q = start + b
+                cids = decode_token_batch(seqs[b], kary)
+                cluster_preds[q] = [c for c, v in zip(cids, valid[b]) if v]
+                doc_preds[q] = {}
+                for a, alpha in enumerate(self.cfg.score_rates):
+                    doc_preds[q][alpha] = [
+                        str(int(d)) for d, v in zip(doc_ids[a, b],
+                                                    doc_valid[a, b]) if v]
+
+        out: dict[str, float] = {}
+        gt_cids = {q: data.gt_cids[q] for q in cluster_preds}
+        out.update(M.full_suite(cluster_preds, gt_cids,
+                                recall_ks=self.cfg.recall_ks,
+                                accuracy_ks=self.cfg.accuracy_ks,
+                                mrr_ks=self.cfg.mrr_ks,
+                                map_k=self.cfg.map_k, prefix="cluster_"))
+        gt_docs = {q: data.gt_docs[q] for q in cluster_preds}
+        for alpha in self.cfg.score_rates:
+            preds_a = {q: doc_preds[q][alpha] for q in doc_preds}
+            suite = M.full_suite(preds_a, gt_docs,
+                                 recall_ks=self.cfg.recall_ks,
+                                 accuracy_ks=self.cfg.accuracy_ks,
+                                 mrr_ks=self.cfg.mrr_ks, map_k=self.cfg.map_k)
+            for k, v in suite.items():
+                out[f"{k}_{alpha}"] = v
+            if alpha == 0:
+                # checkpoint monitor (ref main.py:73-82, main_models.py:1838)
+                out["recall1"] = suite["recall1"]
+        return out

@@ -66,6 +66,12 @@ class GenerativeRetriever(nn.Module):
             self.lm_head = self.param(
                 "lm_head", nn.initializers.normal(0.02),
                 (c.d_model, c.decode_vocab_size), jnp.float32)
+        if c.encoder_d_model != c.d_model:
+            # The reference relies on T5-base and the AR2 doc tower sharing
+            # d=768; when the spaces differ we project the query rep into the
+            # document-embedding space.
+            self.query_proj = nn.Dense(c.encoder_d_model, use_bias=False,
+                                       dtype=self.dtype, name="query_proj")
         if c.adaptor_decode:
             self.pawa = PawaAdaptor(
                 d_model=c.d_model, decode_vocab_size=c.decode_vocab_size,
@@ -92,8 +98,12 @@ class GenerativeRetriever(nn.Module):
 
     def query_embedding(self, enc: Array) -> Array:
         """Dense-stage query rep: first-position encoder state
-        (ref main_models.py:102-109, use_query_embed_encoder path)."""
-        return enc[:, 0]
+        (ref main_models.py:102-109, use_query_embed_encoder path),
+        projected if the doc-embedding space has a different width."""
+        q = enc[:, 0]
+        if self.cfg.encoder_d_model != self.cfg.d_model:
+            q = self.query_proj(q)
+        return q
 
     def decode_logits(self, enc: Array, enc_mask: Array,
                       decoder_input_ids: Array, decoder_attn_mask: Array,

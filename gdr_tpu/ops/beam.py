@@ -26,7 +26,7 @@ length-normalised ``cum / (gen_len ** length_penalty)`` like the reference's
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from flax import struct
 from typing import Callable
 
 import jax
@@ -41,7 +41,7 @@ NEG_INF = -1.0e9
 StepFn = Callable[[Array, dict, Array], tuple[Array, dict]]
 
 
-@dataclass
+@struct.dataclass
 class BeamResult:
     sequences: Array     # [B, K, L+1] int32 — start token, digits tokens, EOS, pad
     scores: Array        # [B, K] float32 — length-normalised log-prob, sorted desc

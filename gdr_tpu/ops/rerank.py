@@ -15,7 +15,7 @@ distinct clusters, so no dedup is needed.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from flax import struct
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +24,7 @@ Array = jax.Array
 NEG_INF = -1.0e9
 
 
-@dataclass
+@struct.dataclass
 class RerankResult:
     doc_ids: Array       # [A, B, R] int32 — top docs per fusion weight
     scores: Array        # [A, B, R] float32 — fused scores
