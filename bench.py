@@ -1,0 +1,130 @@
+"""Headline benchmark: end-to-end query latency at beam 100, one chip.
+
+Measures the full retrieval path of the flagship (t5-base-scale) model on an
+NQ-scale synthetic index (334,314 docs, 30-ary depth-3 CID trie — the
+reference's primary corpus configuration, SURVEY.md §6):
+
+    encode → trie-constrained beam decode (K=100, ≤10 CID tokens, KV-cached)
+    → in-cluster dense re-rank over a 334k × 768 store → α-sweep top-100
+
+The reference's eval operating point is beam 100, batch 1, *no KV cache*,
+with host-side trie walking per token (infer.sh:5-15, SURVEY.md §6 defect 6);
+its repo records no latency numbers.  BASELINE.md sets the target:
+p50 < 20 ms/query on one v5e chip.  ``vs_baseline`` = 20 / p50_ms
+(1.0 = target parity, higher is better).
+
+Prints exactly one JSON line on stdout; diagnostics go to stderr.
+Set GDR_BENCH_TINY=1 for a CPU-sized smoke run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_nq_scale_trie(n_docs: int, kary: int, leaf_cap: int,
+                        max_docs_per_cluster: int):
+    """Systematic 3-level trie holding n_docs in clusters of ≤ leaf_cap."""
+    from gdr_tpu.ops.trie import build_trie
+
+    cid_to_docs = {}
+    doc = 0
+    level3 = -(-n_docs // (kary * kary * leaf_cap))  # per level-2 node
+    for i in range(kary):
+        for j in range(kary):
+            for k in range(level3):
+                if doc >= n_docs:
+                    break
+                take = min(leaf_cap, n_docs - doc)
+                cid_to_docs[f"{i}-{j}-{k}"] = list(range(doc, doc + take))
+                doc += take
+    assert doc == n_docs
+    return build_trie(cid_to_docs, kary,
+                      max_docs_per_cluster=max_docs_per_cluster)
+
+
+def main() -> None:
+    tiny = os.environ.get("GDR_BENCH_TINY") == "1"
+    import jax
+    import jax.numpy as jnp
+
+    from gdr_tpu.config import EvalConfig, ModelConfig
+    from gdr_tpu.eval.evaluator import Evaluator
+    from gdr_tpu.models.gdr import GenerativeRetriever, init_params
+
+    log(f"devices: {jax.devices()}")
+
+    if tiny:
+        cfg = ModelConfig(kary=8, max_output_length=5, d_model=64, d_kv=16,
+                          d_ff=128, num_layers=2, num_decoder_layers=2,
+                          num_heads=4, vocab_size=512, encoder_d_model=64,
+                          adaptor_layer_num=1, adaptor_num_heads=2)
+        n_docs, beams, seq_len, iters = 2_000, 10, 16, 5
+    else:
+        cfg = ModelConfig().scaled("base")          # t5-base, kary 30, L 10
+        n_docs, beams, seq_len, iters = 334_314, 100, 40, 20
+
+    rng = np.random.default_rng(0)
+    log("building trie ...")
+    trie = build_nq_scale_trie(n_docs, cfg.kary, leaf_cap=30 if not tiny else 8,
+                               max_docs_per_cluster=64)
+    log(f"trie: {trie.num_nodes} nodes, {trie.num_clusters} clusters")
+
+    log("building store ...")
+    store = rng.standard_normal((n_docs, cfg.encoder_d_model),
+                                dtype=np.float32)
+    store /= np.linalg.norm(store, axis=1, keepdims=True)
+
+    model = GenerativeRetriever(cfg)
+    params = init_params(model, jax.random.PRNGKey(0), input_len=seq_len)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    log(f"params: {n_params/1e6:.1f}M")
+
+    ev_cfg = EvalConfig(num_beams=beams, num_return_sequences=beams,
+                        max_output_length=cfg.max_output_length,
+                        length_penalty=0.8)
+    evaluator = Evaluator(model, trie, store, ev_cfg)
+
+    input_ids = jnp.asarray(rng.integers(2, cfg.vocab_size,
+                                         size=(1, seq_len)), jnp.int32)
+    attn = jnp.ones((1, seq_len), jnp.int32)
+
+    log("compiling + warmup ...")
+    t0 = time.perf_counter()
+    res, rr = evaluator.retrieve(params, input_ids, attn)
+    jax.block_until_ready((res.sequences, rr.doc_ids))
+    log(f"first call (compile): {time.perf_counter()-t0:.1f}s")
+
+    lat = []
+    for i in range(iters):
+        q = jnp.asarray(rng.integers(2, cfg.vocab_size, size=(1, seq_len)),
+                        jnp.int32)
+        t0 = time.perf_counter()
+        res, rr = evaluator.retrieve(params, q, attn)
+        jax.block_until_ready((res.sequences, rr.doc_ids))
+        lat.append((time.perf_counter() - t0) * 1e3)
+    lat = np.asarray(lat)
+    p50 = float(np.percentile(lat, 50))
+    p90 = float(np.percentile(lat, 90))
+    log(f"latency ms: p50={p50:.2f} p90={p90:.2f} "
+        f"min={lat.min():.2f} max={lat.max():.2f} qps={1000/p50:.1f}")
+
+    print(json.dumps({
+        "metric": "p50_query_latency_beam100_1chip",
+        "value": round(p50, 3),
+        "unit": "ms",
+        "vs_baseline": round(20.0 / p50, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

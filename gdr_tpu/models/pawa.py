@@ -146,7 +146,12 @@ class PawaAdaptor(nn.Module):
         return x, cache
 
     def delta_logits(self, adaptor_out: Array, decoder_out: Array) -> Array:
-        """Σ_ij A[...,j]·s[...,i]·U[j,(i,v)] without the [.., d, V] blow-up.
+        """Σ_ij A[...,j]·s[...,i]·U[j,(i,v)] without the [.., L, d, V] blow-up.
+
+        Per position: G[b] = A[b] @ U (one [B,d]·[d,d·V] MXU matmul, the
+        dominant FLOPs) reshaped to [B, d, V], then a batched matvec with the
+        decoder state.  The live intermediate is [B, d·V] instead of the
+        reference's [B, L, d, V] (modeling_t5.py:1636-1639).
 
         adaptor_out (A), decoder_out (s): [B, L, d] (or [B, d] for one step).
         Returns [B, L, V] (resp. [B, V]).
@@ -162,12 +167,10 @@ class PawaAdaptor(nn.Module):
 
         def per_position(args: tuple[Array, Array]) -> Array:
             a_l, s_l = args                                  # [B, d] each
-            outer = jnp.einsum("bj,bi->bji", a_l, s_l)       # [B, d, d]
-            outer = outer.reshape(a_l.shape[0], d * d)
-            # U laid out as [j, i*V + v] → reshape to [j*? ] consistent below
-            u_flat = u.reshape(d, d, v).reshape(d * d, v)
-            return jnp.dot(outer, u_flat,
-                           preferred_element_type=jnp.float32).astype(self.dtype)
+            g = jnp.dot(a_l, u, preferred_element_type=jnp.float32)
+            g = g.reshape(a_l.shape[0], d, v)                # [B, d, V]
+            return jnp.einsum("bi,biv->bv", s_l.astype(jnp.float32),
+                              g).astype(self.dtype)
 
         # serial over L (≤ max_output_length ≈ 10) to bound live memory
         out = jax.lax.map(per_position,

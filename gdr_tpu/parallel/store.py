@@ -1,0 +1,112 @@
+"""Sharded document-embedding store + distributed re-rank.
+
+At production scale the store is the largest buffer in the system (MS-MARCO
+scale: 8.8M × 768 × bf16 ≈ 13.5 GB — more than one chip's HBM once the model
+is resident).  It therefore shards row-wise over the whole mesh and never
+replicates.
+
+``sharded_rerank`` runs the stage-2 scoring as a ``shard_map``: every shard
+scores only the candidate docs whose rows it owns (non-owned candidates are
+masked, no cross-chip gather of embeddings), takes a local top-R, and the
+per-shard winners are merged with one small ``all_gather`` (R ids+scores per
+shard) followed by a final top-R.  This is the gather-free
+local-score + global-merge pattern SURVEY.md §2.3 calls for; the only
+cross-chip traffic is ``O(shards × R)`` scalars over ICI instead of
+``O(B × K × cap × d)`` embeddings.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gdr_tpu.ops.rerank import RerankResult
+
+Array = jax.Array
+NEG_INF = -1.0e9
+
+
+def pad_store(store: np.ndarray, num_shards: int) -> np.ndarray:
+    """Pad store rows to a multiple of num_shards (padded rows never win:
+    no real doc id points at them)."""
+    n = store.shape[0]
+    rem = (-n) % num_shards
+    if rem == 0:
+        return store
+    return np.concatenate([store, np.zeros((rem, store.shape[1]),
+                                           store.dtype)])
+
+
+def place_store(store: np.ndarray, mesh: Mesh) -> Array:
+    store = pad_store(store, mesh.devices.size)
+    return jax.device_put(
+        store, NamedSharding(mesh, P(tuple(mesh.axis_names))))
+
+
+def sharded_rerank(mesh: Mesh, store: Array, query_emb: Array, docs: Array,
+                   mask: Array, probs: Array, beam_of_cand: Array,
+                   alphas: Array, top_r: int,
+                   squash: str = "tanh") -> tuple[Array, Array, Array]:
+    """Distributed fused re-rank.
+
+    store: [N, d] sharded P(("dp","mp")); everything else replicated.
+    docs/mask: [B, K, cap] candidate doc ids; probs: [B, K] beam probs;
+    beam_of_cand is implicit (dim K).  Returns (doc_ids [A,B,R],
+    scores [A,B,R], valid [A,B,R]) fully replicated.
+    """
+    fn = jnp.tanh if squash == "tanh" else jax.nn.sigmoid
+    axes = tuple(mesh.axis_names)
+    n_shards = mesh.devices.size
+    rows = store.shape[0] // n_shards
+    a = alphas.shape[0]
+    b, k, cap = docs.shape
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(axes), P(), P(), P(), P(), P()),
+             out_specs=(P(), P(), P()), check_vma=False)
+    def impl(store_local, q, docs, mask, probs, alphas):
+        store_local = store_local.reshape(rows, -1)
+        shard = jax.lax.axis_index(axes)
+        lo = shard * rows
+        local = docs - lo
+        owned = mask & (local >= 0) & (local < rows)
+        local = jnp.clip(local, 0, rows - 1)
+        emb = store_local[local.reshape(b, -1)].reshape(b, k, cap, -1)
+        sim = fn(jnp.einsum("bd,bkcd->bkc", q.astype(jnp.float32),
+                            emb.astype(jnp.float32)))
+        fused = sim[None] + alphas[:, None, None, None] * probs[None, :, :, None]
+        fused = jnp.where(owned[None], fused, NEG_INF)
+        flat = fused.reshape(a, b, k * cap)
+        loc_scores, loc_idx = jax.lax.top_k(flat, min(top_r, k * cap))
+        loc_docs = jnp.take_along_axis(
+            jnp.broadcast_to(docs.reshape(1, b, k * cap), flat.shape),
+            loc_idx, axis=-1)
+        # merge: all_gather the per-shard winners (tiny) and re-top-k
+        g_scores = jax.lax.all_gather(loc_scores, axes, axis=2, tiled=True)
+        g_docs = jax.lax.all_gather(loc_docs, axes, axis=2, tiled=True)
+        m_scores, m_idx = jax.lax.top_k(g_scores, top_r)
+        m_docs = jnp.take_along_axis(g_docs, m_idx, axis=-1)
+        return m_docs.astype(jnp.int32), m_scores, m_scores > NEG_INF / 2
+
+    return impl(store, query_emb, docs, mask, probs, alphas)
+
+
+def sharded_rerank_from_beams(mesh: Mesh, store: Array, query_emb: Array,
+                              nodes: Array, beam_scores: Array, valid: Array,
+                              cluster_of_node: Array, cluster_docs: Array,
+                              cluster_doc_mask: Array, alphas: Array,
+                              top_r: int, squash: str = "tanh") -> RerankResult:
+    """Distributed counterpart of :func:`gdr_tpu.ops.rerank.rerank`."""
+    from gdr_tpu.ops.rerank import expand_candidates
+    docs, mask = expand_candidates(nodes, valid, cluster_of_node,
+                                   cluster_docs, cluster_doc_mask)
+    probs = jax.nn.softmax(
+        jnp.where(valid, beam_scores, NEG_INF).astype(jnp.float32), axis=-1)
+    doc_ids, scores, ok = sharded_rerank(
+        mesh, store, query_emb, docs, mask, probs, None, alphas, top_r, squash)
+    return RerankResult(doc_ids=doc_ids, scores=scores, doc_valid=ok,
+                        cluster_probs=probs)

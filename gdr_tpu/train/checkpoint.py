@@ -1,0 +1,64 @@
+"""Orbax checkpointing with the reference's selection policy.
+
+The reference uses Lightning ``ModelCheckpoint`` with two policies
+(main.py:46-104): monitor dev ``recall1`` (max) or ``avg_train_loss`` (min),
+``save_top_k=1``, plus manual ``--resume_from_checkpoint``.  Here the same
+policy rides on ``orbax.CheckpointManager``: best-k retention by a monitored
+metric, resumable full train state (params + optimizer + step), and
+metadata for the monitored series.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import orbax.checkpoint as ocp
+
+from gdr_tpu.config import TrainConfig
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, monitor: str = "recall1",
+                 mode: str = "max", save_top_k: int = 1):
+        self.monitor = monitor
+        best_mode = "max" if mode == "max" else "min"
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max(save_top_k, 1),
+            best_fn=(lambda metrics: metrics.get(monitor, float("-inf")))
+            if best_mode == "max"
+            else (lambda metrics: metrics.get(monitor, float("inf"))),
+            best_mode=best_mode,
+            enable_async_checkpointing=False,
+        )
+        import os
+        self.mgr = ocp.CheckpointManager(os.path.abspath(directory),
+                                         options=options)
+
+    @classmethod
+    def from_config(cls, cfg: TrainConfig, directory: str | None = None
+                    ) -> "CheckpointManager":
+        mode = "min" if cfg.monitor.endswith("loss") else "max"
+        return cls(directory or cfg.checkpoint_dir, monitor=cfg.monitor,
+                   mode=mode, save_top_k=cfg.save_top_k)
+
+    def save(self, step: int, state: Any, metrics: dict[str, float]) -> None:
+        self.mgr.save(step, args=ocp.args.StandardSave(state),
+                      metrics={k: float(v) for k, v in metrics.items()})
+        self.mgr.wait_until_finished()
+
+    def restore_latest(self, template: Any) -> tuple[Optional[int], Any]:
+        step = self.mgr.latest_step()
+        if step is None:
+            return None, template
+        return step, self.mgr.restore(
+            step, args=ocp.args.StandardRestore(template))
+
+    def restore_best(self, template: Any) -> tuple[Optional[int], Any]:
+        step = self.mgr.best_step()
+        if step is None:
+            return self.restore_latest(template)
+        return step, self.mgr.restore(
+            step, args=ocp.args.StandardRestore(template))
+
+    def close(self) -> None:
+        self.mgr.close()

@@ -19,10 +19,16 @@ import pytest  # noqa: E402
 
 import jax  # noqa: E402
 
+# Something in the environment pins jax_platforms to "axon,cpu" (the TPU
+# tunnel) regardless of JAX_PLATFORMS — override through the config API.
+jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: repeated test runs skip XLA compilation,
 # critical on the single-core CI host.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+assert jax.device_count() == 8, jax.devices()
 
 
 @pytest.fixture(scope="session")
