@@ -57,6 +57,11 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: bench re-runs skip XLA compilation
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from gdr_tpu.config import EvalConfig, ModelConfig
     from gdr_tpu.eval.evaluator import Evaluator
     from gdr_tpu.models.gdr import GenerativeRetriever, init_params

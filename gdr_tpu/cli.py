@@ -1,0 +1,282 @@
+"""Command-line interface: train / eval / index / expand / calculate / bench.
+
+Replaces the reference's mode switch in ``GDR_model/main.py`` (train at :36,
+inference at :115, calculate at :253, ~100 argparse flags at :260-448) and
+the ``train.sh`` / ``infer.sh`` wrappers with typed subcommands over the
+dataclass configs.  Only the meaningful flag surface is exposed; presets
+(`--model-size base|large|small`) mirror main.py:422-442.
+
+Example:
+    python -m gdr_tpu.cli index  --corpus docs.tsv --out index.npz
+    python -m gdr_tpu.cli train  --index index.npz --train train.tsv \
+                                 --dev dev.tsv --workdir runs/nq
+    python -m gdr_tpu.cli eval   --index index.npz --dev dev.tsv \
+                                 --workdir runs/nq --beam 100
+    python -m gdr_tpu.cli expand --index index.npz --corpus new_docs.tsv \
+                                 --out index_expanded.npz
+    python -m gdr_tpu.cli calculate --result res1.tsv
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import dataclasses
+import json
+import sys
+
+
+def _add_common_model_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--model-size", default="base",
+                   choices=["base", "large", "small", "tiny"])
+    p.add_argument("--kary", type=int, default=30)
+    p.add_argument("--max-output-length", type=int, default=10)
+    p.add_argument("--no-adaptor", action="store_true",
+                   help="disable the PAWA adaptive lm-head")
+    p.add_argument("--adaptor-layers", type=int, default=4)
+    p.add_argument("--rdrop", type=float, default=0.1)
+
+
+def _model_config(args):
+    from gdr_tpu.config import ModelConfig
+    cfg = ModelConfig(kary=args.kary,
+                      max_output_length=args.max_output_length,
+                      adaptor_decode=not args.no_adaptor,
+                      adaptor_layer_num=args.adaptor_layers,
+                      rdrop=args.rdrop).scaled(args.model_size)
+    return cfg
+
+
+def _read_corpus_tsv(path: str) -> tuple[list[str], list[str]]:
+    """TSV rows: title \t text (or just text)."""
+    titles, texts = [], []
+    with open(path, newline="") as fh:
+        for row in csv.reader(fh, delimiter="\t"):
+            if not row:
+                continue
+            if len(row) >= 2:
+                titles.append(row[0])
+                texts.append(row[1])
+            else:
+                titles.append(f"doc-{len(titles)}")
+                texts.append(row[0])
+    return titles, texts
+
+
+def _read_query_tsv(path: str) -> tuple[list[str], list[list[int]]]:
+    """TSV rows: query \t docid[,docid...]."""
+    queries, positives = [], []
+    with open(path, newline="") as fh:
+        for row in csv.reader(fh, delimiter="\t"):
+            if len(row) < 2:
+                continue
+            queries.append(row[0])
+            positives.append([int(d) for d in row[1].split(",")])
+    return queries, positives
+
+
+def cmd_index(args) -> None:
+    import jax
+    import numpy as np
+
+    from gdr_tpu.config import IndexConfig
+    from gdr_tpu.data.tokenize import load_tokenizer
+    from gdr_tpu.index.builder import build_index
+    from gdr_tpu.index.io import save_index
+    from gdr_tpu.models.dual_encoder import DocEncoder
+
+    titles, texts = _read_corpus_tsv(args.corpus)
+    tok = load_tokenizer(args.doc_tokenizer)
+    ids, mask = tok.encode_batch(texts, args.encoder_max_len)
+    enc = DocEncoder()
+    params = enc.init(jax.random.PRNGKey(args.seed), ids[:2], mask[:2])
+    # TODO(weights): load a converted AR2/BERT checkpoint when provided
+    if args.encoder_ckpt:
+        params = _load_msgpack(args.encoder_ckpt, params)
+    cfg = IndexConfig(kary=args.kary, leaf_cap=args.leaf_cap, seed=args.seed)
+    index = build_index(enc, params, ids, mask, cfg,
+                        batch_size=args.batch_size)
+    save_index(args.out, index)
+    print(f"index: {len(index.paths)} docs, {index.trie.num_clusters} "
+          f"clusters, {index.trie.num_nodes} nodes → {args.out}")
+
+
+def cmd_train(args) -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gdr_tpu.config import (DataConfig, EvalConfig, GDRConfig, MeshConfig,
+                                TrainConfig)
+    from gdr_tpu.data.dataset import (BatchIterator, build_eval_data,
+                                      build_train_set, cluster_docs_lookup)
+    from gdr_tpu.data.tokenize import load_tokenizer
+    from gdr_tpu.eval.evaluator import Evaluator
+    from gdr_tpu.index.io import load_index
+    from gdr_tpu.models.dual_encoder import DocEncoder
+    from gdr_tpu.models.gdr import GenerativeRetriever
+    from gdr_tpu.train.checkpoint import CheckpointManager
+    from gdr_tpu.train.loop import TrainLoop
+    from gdr_tpu.utils.logging import MetricLogger
+
+    index = load_index(args.index)
+    mcfg = _model_config(args)
+    tcfg = TrainConfig(train_batch_size=args.batch_size,
+                       num_train_epochs=args.epochs,
+                       train_encoder_epoch=args.train_encoder_epoch,
+                       learning_rate=args.lr,
+                       decoder_learning_rate=args.decoder_lr,
+                       checkpoint_dir=f"{args.workdir}/ckpt")
+    cfg = GDRConfig(model=mcfg, train=tcfg,
+                    eval=EvalConfig(num_beams=args.beam,
+                                    num_return_sequences=args.beam,
+                                    max_output_length=mcfg.max_output_length))
+
+    tok = load_tokenizer(args.tokenizer, vocab_size=mcfg.vocab_size)
+    queries, positives = _read_query_tsv(args.train)
+    train_set = build_train_set(
+        queries, [p[0] for p in positives], index.paths, tok, mcfg,
+        args.max_input_length)
+    dev_q, dev_pos = _read_query_tsv(args.dev)
+    dev = build_eval_data(dev_q, dev_pos, index.cid_of_doc, tok,
+                          args.max_input_length)
+
+    loop = TrainLoop(cfg, index, train_set, dev,
+                     workdir=args.workdir, seed=args.seed)
+    loop.run()
+
+
+def cmd_eval(args) -> None:
+    import jax
+
+    from gdr_tpu.config import EvalConfig
+    from gdr_tpu.data.dataset import build_eval_data
+    from gdr_tpu.data.tokenize import load_tokenizer
+    from gdr_tpu.eval.evaluator import Evaluator
+    from gdr_tpu.index.io import load_index
+    from gdr_tpu.models.gdr import GenerativeRetriever, init_params
+    from gdr_tpu.train.checkpoint import CheckpointManager
+
+    index = load_index(args.index)
+    mcfg = _model_config(args)
+    model = GenerativeRetriever(mcfg)
+    params = init_params(model, jax.random.PRNGKey(args.seed),
+                         input_len=args.max_input_length)
+    ckpt = CheckpointManager(f"{args.workdir}/ckpt")
+    step, restored = ckpt.restore_best({"generator": params})
+    if step is not None:
+        params = restored["generator"]
+        print(f"restored checkpoint step {step}")
+
+    tok = load_tokenizer(args.tokenizer, vocab_size=mcfg.vocab_size)
+    dev_q, dev_pos = _read_query_tsv(args.dev)
+    dev = build_eval_data(dev_q, dev_pos, index.cid_of_doc, tok,
+                          args.max_input_length)
+    ev_cfg = EvalConfig(num_beams=args.beam, num_return_sequences=args.beam,
+                        max_output_length=mcfg.max_output_length)
+    evaluator = Evaluator(model, index.trie, index.store, ev_cfg)
+    out = evaluator.evaluate(params, dev, batch_size=args.eval_batch_size)
+    print(json.dumps(out, indent=2, sort_keys=True))
+
+
+def cmd_expand(args) -> None:
+    import jax
+
+    from gdr_tpu.data.tokenize import load_tokenizer
+    from gdr_tpu.index.expand import expand_with_encoder
+    from gdr_tpu.index.io import load_index, save_index
+    from gdr_tpu.models.dual_encoder import DocEncoder
+
+    index = load_index(args.index)
+    titles, texts = _read_corpus_tsv(args.corpus)
+    tok = load_tokenizer(args.doc_tokenizer)
+    ids, mask = tok.encode_batch(texts, args.encoder_max_len)
+    enc = DocEncoder()
+    params = enc.init(jax.random.PRNGKey(args.seed), ids[:2], mask[:2])
+    if args.encoder_ckpt:
+        params = _load_msgpack(args.encoder_ckpt, params)
+    bigger = expand_with_encoder(index, enc, params, ids, mask)
+    save_index(args.out, bigger)
+    print(f"expanded: {len(index.paths)} → {len(bigger.paths)} docs "
+          f"→ {args.out}")
+
+
+def cmd_calculate(args) -> None:
+    from gdr_tpu.eval.offline import calculate
+    print(json.dumps(calculate(args.result), indent=2, sort_keys=True))
+
+
+def _load_msgpack(path: str, template):
+    from flax import serialization
+    with open(path, "rb") as fh:
+        return serialization.from_bytes(template, fh.read())
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="gdr_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("index", help="embed corpus + k-means + trie")
+    pi.add_argument("--corpus", required=True)
+    pi.add_argument("--out", required=True)
+    pi.add_argument("--kary", type=int, default=30)
+    pi.add_argument("--leaf-cap", type=int, default=30)
+    pi.add_argument("--encoder-max-len", type=int, default=128)
+    pi.add_argument("--batch-size", type=int, default=256)
+    pi.add_argument("--doc-tokenizer", default=None)
+    pi.add_argument("--encoder-ckpt", default=None)
+    pi.add_argument("--seed", type=int, default=7)
+    pi.set_defaults(fn=cmd_index)
+
+    pt = sub.add_parser("train", help="two-stage training")
+    _add_common_model_flags(pt)
+    pt.add_argument("--index", required=True)
+    pt.add_argument("--train", required=True)
+    pt.add_argument("--dev", required=True)
+    pt.add_argument("--workdir", required=True)
+    pt.add_argument("--tokenizer", default=None)
+    pt.add_argument("--max-input-length", type=int, default=40)
+    pt.add_argument("--batch-size", type=int, default=64)
+    pt.add_argument("--epochs", type=int, default=500)
+    pt.add_argument("--train-encoder-epoch", type=int, default=51)
+    pt.add_argument("--lr", type=float, default=2e-4)
+    pt.add_argument("--decoder-lr", type=float, default=1e-4)
+    pt.add_argument("--beam", type=int, default=100)
+    pt.add_argument("--seed", type=int, default=42)
+    pt.set_defaults(fn=cmd_train)
+
+    pe = sub.add_parser("eval", help="standalone evaluation")
+    _add_common_model_flags(pe)
+    pe.add_argument("--index", required=True)
+    pe.add_argument("--dev", required=True)
+    pe.add_argument("--workdir", required=True)
+    pe.add_argument("--tokenizer", default=None)
+    pe.add_argument("--max-input-length", type=int, default=40)
+    pe.add_argument("--beam", type=int, default=100)
+    pe.add_argument("--eval-batch-size", type=int, default=8)
+    pe.add_argument("--seed", type=int, default=42)
+    pe.set_defaults(fn=cmd_eval)
+
+    px = sub.add_parser("expand", help="insert new docs, no retraining")
+    px.add_argument("--index", required=True)
+    px.add_argument("--corpus", required=True)
+    px.add_argument("--out", required=True)
+    px.add_argument("--encoder-max-len", type=int, default=128)
+    px.add_argument("--doc-tokenizer", default=None)
+    px.add_argument("--encoder-ckpt", default=None)
+    px.add_argument("--seed", type=int, default=7)
+    px.set_defaults(fn=cmd_expand)
+
+    pc = sub.add_parser("calculate", help="offline metrics from result TSV")
+    pc.add_argument("--result", required=True)
+    pc.set_defaults(fn=cmd_calculate)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

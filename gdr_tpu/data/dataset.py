@@ -1,0 +1,151 @@
+"""Training/eval set assembly and batch iteration.
+
+Replaces the reference's ``l1_query`` Dataset + ``load_data`` /
+``load_data_infer`` (main_models.py:355-679, main_utils.py:133-375):
+
+- query-source mixing by ``query_type`` (gtq = ground-truth queries, qg =
+  generated queries, doc = doc-as-query prefixes, aug = random spans), ref
+  main_utils.py:146-223;
+- positional CID labels per example (ref ``decode_embedding_process``,
+  main_models.py:545-578);
+- per-batch sampling of ≤ ``max_intraclass_num`` same-cluster documents as
+  contrastive candidates with the positive appended
+  (ref main_models.py:595-634);
+- multi-positive dev rows (ref main_utils.py:282-375).
+
+All tokenization happens once up front into dense arrays; the batch iterator
+only slices, samples candidates, and hands dicts to the jitted train step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from gdr_tpu.config import DataConfig, ModelConfig
+from gdr_tpu.eval.evaluator import EvalData
+from gdr_tpu.ops.codec import digits_to_label
+
+
+@dataclass
+class TrainSet:
+    input_ids: np.ndarray    # [Q, S]
+    attn_mask: np.ndarray    # [Q, S]
+    labels: np.ndarray       # [Q, L]
+    label_mask: np.ndarray   # [Q, L]
+    pos_idx: np.ndarray      # [Q] positive doc index
+    source: list[str]        # provenance tag per row (gtq/qg/doc/aug)
+
+    def __len__(self) -> int:
+        return len(self.pos_idx)
+
+    @staticmethod
+    def concat(parts: Sequence["TrainSet"]) -> "TrainSet":
+        parts = [p for p in parts if len(p)]
+        return TrainSet(
+            input_ids=np.concatenate([p.input_ids for p in parts]),
+            attn_mask=np.concatenate([p.attn_mask for p in parts]),
+            labels=np.concatenate([p.labels for p in parts]),
+            label_mask=np.concatenate([p.label_mask for p in parts]),
+            pos_idx=np.concatenate([p.pos_idx for p in parts]),
+            source=sum((p.source for p in parts), []),
+        )
+
+
+def build_train_set(queries: Sequence[str], positives: Sequence[int],
+                    doc_paths: Sequence[Sequence[int]], tokenizer,
+                    mcfg: ModelConfig, max_input_length: int,
+                    source: str = "gtq") -> TrainSet:
+    """Tokenize queries and attach CID labels of their positive docs."""
+    ids, mask = tokenizer.encode_batch(list(queries), max_input_length)
+    q = len(queries)
+    labels = np.zeros((q, mcfg.max_output_length), np.int32)
+    lmask = np.zeros((q, mcfg.max_output_length), np.int32)
+    for i, doc in enumerate(positives):
+        labels[i], lmask[i] = digits_to_label(
+            doc_paths[doc], mcfg.kary, mcfg.max_output_length, mcfg.position)
+    return TrainSet(input_ids=ids, attn_mask=mask, labels=labels,
+                    label_mask=lmask,
+                    pos_idx=np.asarray(positives, np.int32),
+                    source=[source] * q)
+
+
+def mix_sources(query_type: str, **source_sets: TrainSet) -> TrainSet:
+    """``query_type`` is an underscore-joined mix, e.g. "gtq_qg_doc_aug"
+    (ref main_utils.py:146-223)."""
+    wanted = query_type.split("_")
+    missing = [w for w in wanted if w not in source_sets]
+    if missing:
+        raise ValueError(f"query_type needs sources {missing}")
+    return TrainSet.concat([source_sets[w] for w in wanted])
+
+
+class BatchIterator:
+    """Shuffled epoch iterator with per-example candidate sampling."""
+
+    def __init__(self, train_set: TrainSet,
+                 cluster_docs_of: Sequence[Sequence[int]],
+                 batch_size: int, max_intraclass: int, seed: int = 0,
+                 drop_last: bool = True):
+        """``cluster_docs_of[doc]``: doc indices sharing doc's cluster."""
+        self.ts = train_set
+        self.cluster_docs_of = cluster_docs_of
+        self.batch_size = batch_size
+        self.c = max_intraclass + 1
+        self.rng = np.random.default_rng(seed)
+        self.drop_last = drop_last
+
+    def __iter__(self) -> Iterator[dict]:
+        order = self.rng.permutation(len(self.ts))
+        bs = self.batch_size
+        end = len(order) - (len(order) % bs if self.drop_last else 0)
+        for start in range(0, end, bs):
+            idx = order[start:start + bs]
+            if self.drop_last and len(idx) < bs:
+                break
+            yield self.make_batch(idx)
+
+    def make_batch(self, idx: np.ndarray) -> dict:
+        ts = self.ts
+        b = len(idx)
+        cand_idx = np.zeros((b, self.c), np.int32)
+        cand_mask = np.zeros((b, self.c), bool)
+        for row, i in enumerate(idx):
+            pos = int(ts.pos_idx[i])
+            others = [d for d in self.cluster_docs_of[pos] if d != pos]
+            self.rng.shuffle(others)
+            chosen = others[: self.c - 1] + [pos]   # positive appended last
+            cand_idx[row, :len(chosen)] = chosen
+            cand_mask[row, :len(chosen)] = True
+        return {
+            "input_ids": ts.input_ids[idx],
+            "attn_mask": ts.attn_mask[idx],
+            "labels": ts.labels[idx],
+            "label_mask": ts.label_mask[idx],
+            "pos_idx": ts.pos_idx[idx],
+            "cand_idx": cand_idx,
+            "cand_mask": cand_mask,
+        }
+
+
+def build_eval_data(queries: Sequence[str],
+                    positives: Sequence[Sequence[int]],
+                    cid_of_doc: Sequence[str], tokenizer,
+                    max_input_length: int) -> EvalData:
+    """Dev set with multi-positive rows (ref main_utils.py:282-375)."""
+    ids, mask = tokenizer.encode_batch(list(queries), max_input_length)
+    gt_docs = [[str(d) for d in pos] for pos in positives]
+    gt_cids = [sorted({cid_of_doc[d] for d in pos}) for pos in positives]
+    return EvalData(input_ids=ids, attn_mask=mask,
+                    gt_docs=gt_docs, gt_cids=gt_cids)
+
+
+def cluster_docs_lookup(cid_of_doc: Sequence[str]) -> list[list[int]]:
+    """doc → list of docs sharing its cluster (the sampling pool,
+    ref main_models.py:597-604 via ``id_mapping``)."""
+    by_cid: dict[str, list[int]] = {}
+    for d, cid in enumerate(cid_of_doc):
+        by_cid.setdefault(cid, []).append(d)
+    return [by_cid[cid] for cid in cid_of_doc]

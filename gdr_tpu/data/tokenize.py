@@ -1,0 +1,82 @@
+"""Tokenizer abstraction.
+
+The reference tokenizes queries with sentencepiece T5 and documents with
+WordPiece BERT via HuggingFace (main_models.py:797-798).  Both load here when
+checkpoints are present on disk; otherwise a deterministic hashing tokenizer
+keeps the full pipeline runnable hermetically (tests, airgapped TPU pods).
+The model never sees strings — every consumer works on the [B, L] int32
+arrays these produce.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Sequence
+
+import numpy as np
+
+
+class HashTokenizer:
+    """Deterministic word-hash tokenizer: token = 2 + (md5(word) % (V-2)).
+
+    Ids 0/1 stay reserved (pad/eos) to match the model's conventions.
+    """
+
+    def __init__(self, vocab_size: int = 32128, lower: bool = True):
+        self.vocab_size = vocab_size
+        self.lower = lower
+
+    def _word_id(self, w: str) -> int:
+        h = int.from_bytes(hashlib.md5(w.encode()).digest()[:4], "little")
+        return 2 + h % (self.vocab_size - 2)
+
+    def encode(self, text: str, max_length: int) -> tuple[np.ndarray, np.ndarray]:
+        if self.lower:
+            text = text.lower()
+        words = re.findall(r"\w+|[^\w\s]", text)[: max_length]
+        ids = np.zeros(max_length, np.int32)
+        for i, w in enumerate(words):
+            ids[i] = self._word_id(w)
+        mask = (ids != 0).astype(np.int32)
+        return ids, mask
+
+    def encode_batch(self, texts: Sequence[str], max_length: int
+                     ) -> tuple[np.ndarray, np.ndarray]:
+        ids = np.zeros((len(texts), max_length), np.int32)
+        mask = np.zeros((len(texts), max_length), np.int32)
+        for i, t in enumerate(texts):
+            ids[i], mask[i] = self.encode(t, max_length)
+        return ids, mask
+
+
+class HFTokenizer:
+    """Wraps a HuggingFace tokenizer behind the same (ids, mask) interface."""
+
+    def __init__(self, name_or_path: str):
+        from transformers import AutoTokenizer
+        self.tok = AutoTokenizer.from_pretrained(name_or_path)
+        self.vocab_size = self.tok.vocab_size
+
+    def encode(self, text: str, max_length: int):
+        out = self.tok(text, max_length=max_length, padding="max_length",
+                       truncation=True, return_tensors="np")
+        return (out["input_ids"][0].astype(np.int32),
+                out["attention_mask"][0].astype(np.int32))
+
+    def encode_batch(self, texts: Sequence[str], max_length: int):
+        out = self.tok(list(texts), max_length=max_length,
+                       padding="max_length", truncation=True,
+                       return_tensors="np")
+        return (out["input_ids"].astype(np.int32),
+                out["attention_mask"].astype(np.int32))
+
+
+def load_tokenizer(name_or_path: str | None, vocab_size: int = 32128):
+    """HF tokenizer when loadable, hashing fallback otherwise."""
+    if name_or_path:
+        try:
+            return HFTokenizer(name_or_path)
+        except Exception:
+            pass
+    return HashTokenizer(vocab_size=vocab_size)

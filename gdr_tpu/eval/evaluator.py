@@ -50,24 +50,31 @@ class Evaluator:
         self._cluster_docs = jnp.asarray(trie.cluster_docs)
         self._cluster_doc_mask = jnp.asarray(trie.cluster_doc_mask)
         self._alphas = jnp.asarray(np.asarray(cfg.score_rates, np.float32))
+        # trie tables are jit *arguments*, not closure captures — captured
+        # arrays would be baked into the HLO as literals (slow compiles)
         self._retrieve = jax.jit(self._retrieve_impl)
 
-    def _retrieve_impl(self, params, input_ids, attn_mask, store):
+    def _retrieve_impl(self, params, input_ids, attn_mask, store, children,
+                       eos, cluster_of_node, cluster_docs, cluster_doc_mask,
+                       alphas):
         cfg = self.cfg
         res, q_emb = generate_cids(
-            self.model, params, input_ids, attn_mask, self._children,
-            self._eos, cfg.num_beams, cfg.max_output_length,
+            self.model, params, input_ids, attn_mask, children,
+            eos, cfg.num_beams, cfg.max_output_length,
             cfg.length_penalty)
         rr = rerank(store, q_emb, res.nodes, res.scores, res.valid,
-                    self._cluster_of_node, self._cluster_docs,
-                    self._cluster_doc_mask, self._alphas,
+                    cluster_of_node, cluster_docs,
+                    cluster_doc_mask, alphas,
                     top_r=cfg.num_return_sequences)
         return res, rr
 
     def retrieve(self, params, input_ids, attn_mask):
         """Single-batch retrieval; returns (BeamResult, RerankResult)."""
         return self._retrieve(params, jnp.asarray(input_ids),
-                              jnp.asarray(attn_mask), self.store)
+                              jnp.asarray(attn_mask), self.store,
+                              self._children, self._eos,
+                              self._cluster_of_node, self._cluster_docs,
+                              self._cluster_doc_mask, self._alphas)
 
     def evaluate(self, params, data: EvalData, batch_size: int = 8,
                  kary: int | None = None) -> dict[str, float]:

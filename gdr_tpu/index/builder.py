@@ -1,0 +1,83 @@
+"""Index construction: embed corpus → hierarchical k-means → CID trie.
+
+Replaces three reference components with one device-resident pipeline:
+- ``bert/bert.py`` + ``bert_NQ.sh`` — manual shard-by-process doc embedding
+  (one process per GPU, merged by concatenation) → here a single jitted
+  batched encode, optionally sharded over the mesh batch axis;
+- ``kmeans/kmeans.py`` — host scikit-learn recursion → on-device Lloyd
+  (gdr_tpu.ops.kmeans);
+- ``main_models.py:690-733`` — pickle-cached Python trie → packed tensors.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gdr_tpu.config import IndexConfig
+from gdr_tpu.ops.kmeans import hierarchical_kmeans, paths_to_cid_mapping
+from gdr_tpu.ops.trie import TrieTensors, build_trie
+
+
+@dataclass
+class Index:
+    store: np.ndarray            # [N, d] doc embeddings
+    trie: TrieTensors
+    paths: list[list[int]]       # digit path per doc
+    cid_of_doc: list[str]
+
+
+def embed_corpus(doc_encoder, params, token_ids: np.ndarray,
+                 masks: np.ndarray, batch_size: int = 256,
+                 normalize: bool = False) -> np.ndarray:
+    """Batched doc-tower encode of the whole corpus.
+
+    One compiled program, batches streamed through the chip — replaces the
+    reference's per-GPU corpus partitioning (bert.py:48-61).  The final
+    partial batch is padded to keep a single compiled shape.
+    """
+    n = token_ids.shape[0]
+    encode = jax.jit(lambda p, t, m: doc_encoder.apply(
+        p, t, m, deterministic=True))
+    out = np.zeros((n, 0), np.float32)
+    chunks = []
+    for start in range(0, n, batch_size):
+        end = min(start + batch_size, n)
+        ids = token_ids[start:end]
+        msk = masks[start:end]
+        if end - start < batch_size:
+            pad = batch_size - (end - start)
+            ids = np.concatenate([ids, np.zeros((pad, ids.shape[1]),
+                                                ids.dtype)])
+            msk = np.concatenate([msk, np.ones((pad, msk.shape[1]),
+                                               msk.dtype)])
+        emb = np.asarray(encode(params, jnp.asarray(ids), jnp.asarray(msk)))
+        chunks.append(emb[: end - start])
+    out = np.concatenate(chunks) if chunks else out
+    if normalize:
+        out = out / np.maximum(np.linalg.norm(out, axis=1, keepdims=True),
+                               1e-9)
+    return out.astype(np.float32)
+
+
+def build_index_from_embeddings(store: np.ndarray,
+                                cfg: IndexConfig) -> Index:
+    """k-means the embeddings into CID paths and pack the trie."""
+    paths = hierarchical_kmeans(store, kary=cfg.kary, leaf_cap=cfg.leaf_cap,
+                                iters=cfg.max_iters, seed=cfg.seed)
+    mapping = paths_to_cid_mapping(paths)
+    trie = build_trie(mapping, kary=cfg.kary,
+                      max_docs_per_cluster=cfg.max_docs_per_cluster,
+                      doc_embeddings=store)
+    cid_of_doc = ["-".join(str(d) for d in p) for p in paths]
+    return Index(store=store, trie=trie, paths=paths, cid_of_doc=cid_of_doc)
+
+
+def build_index(doc_encoder, params, token_ids: np.ndarray,
+                masks: np.ndarray, cfg: IndexConfig,
+                batch_size: int = 256) -> Index:
+    store = embed_corpus(doc_encoder, params, token_ids, masks, batch_size)
+    return build_index_from_embeddings(store, cfg)

@@ -1,0 +1,132 @@
+"""Epoch-driven training orchestrator.
+
+The harness role of the reference's ``pl.Trainer`` + ``T5FineTuner`` epoch
+hooks (main.py:84-112, main_models.py:1644-1917): per-epoch batch iteration,
+periodic evaluation, best-checkpoint retention on dev ``recall1``, metric
+logging, and the two-stage schedule — stage 1 trains the generative model
+against cached doc embeddings; at ``train_encoder_epoch`` the loop switches
+to stage 2, re-jits the step with the live doc tower, and changes batch size
+(ref main_models.py:1910-1917).
+
+Stage 2 requires tokenized documents (``doc_tokens``/``doc_tok_mask``); when
+absent the loop stays in stage 1 (cached embeddings) like a reference run
+with ``train_encoder_epoch`` ≥ epochs.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gdr_tpu.config import GDRConfig
+from gdr_tpu.data.dataset import BatchIterator, TrainSet, cluster_docs_lookup
+from gdr_tpu.eval.evaluator import EvalData, Evaluator
+from gdr_tpu.index.builder import Index
+from gdr_tpu.models.dual_encoder import DocEncoder
+from gdr_tpu.models.gdr import GenerativeRetriever
+from gdr_tpu.train.checkpoint import CheckpointManager
+from gdr_tpu.train.trainer import init_train_state, make_train_step
+from gdr_tpu.utils.logging import MetricLogger
+from gdr_tpu.utils.rng import set_seed
+
+
+class TrainLoop:
+    def __init__(self, cfg: GDRConfig, index: Index, train_set: TrainSet,
+                 dev: EvalData, workdir: str, seed: int = 42,
+                 doc_tokens: Optional[np.ndarray] = None,
+                 doc_tok_mask: Optional[np.ndarray] = None,
+                 doc_encoder: Optional[DocEncoder] = None,
+                 eval_every: int = 1):
+        self.cfg = cfg
+        self.index = index
+        self.train_set = train_set
+        self.dev = dev
+        self.workdir = workdir
+        self.doc_tokens = doc_tokens
+        self.doc_tok_mask = doc_tok_mask
+        self.eval_every = eval_every
+
+        self.rng = set_seed(seed)
+        self.model = GenerativeRetriever(cfg.model)
+        self.doc_encoder = doc_encoder
+        if doc_tokens is not None and doc_encoder is None:
+            self.doc_encoder = DocEncoder(d_model=cfg.model.encoder_d_model)
+
+        steps_per_epoch = max(len(train_set) // cfg.train.train_batch_size, 1)
+        total = steps_per_epoch * cfg.train.num_train_epochs
+        self.state, self.opt = init_train_state(
+            cfg, self.model, self.doc_encoder, self.rng, total_steps=total,
+            input_len=train_set.input_ids.shape[1],
+            encoder_len=(doc_tokens.shape[1] if doc_tokens is not None else 16))
+        self.store = jnp.asarray(index.store)
+        self.lookup = cluster_docs_lookup(index.cid_of_doc)
+        self.evaluator = Evaluator(self.model, index.trie, index.store,
+                                   cfg.eval)
+        self.ckpt = CheckpointManager.from_config(cfg.train,
+                                                  f"{workdir}/ckpt")
+        self.logger = MetricLogger(workdir, run_name="train")
+        self._step_fns: dict[int, object] = {}
+
+    def _step_fn(self, stage: int):
+        if stage not in self._step_fns:
+            self._step_fns[stage] = make_train_step(
+                self.model, self.doc_encoder, self.opt, self.cfg, stage=stage)
+        return self._step_fns[stage]
+
+    def _augment_stage2(self, batch: dict) -> dict:
+        idx = batch["cand_idx"]
+        batch = dict(batch)
+        batch["pos_tokens"] = self.doc_tokens[batch["pos_idx"]]
+        batch["pos_tok_mask"] = self.doc_tok_mask[batch["pos_idx"]]
+        batch["cand_tokens"] = self.doc_tokens[idx]
+        batch["cand_tok_mask"] = self.doc_tok_mask[idx]
+        return batch
+
+    def run(self, max_epochs: Optional[int] = None) -> dict[str, float]:
+        cfg = self.cfg.train
+        epochs = max_epochs or cfg.num_train_epochs
+        best: dict[str, float] = {}
+        step_rng = jax.random.fold_in(self.rng, 17)
+        global_step = 0
+        for epoch in range(epochs):
+            stage2 = (epoch > cfg.train_encoder_epoch
+                      and self.doc_tokens is not None)
+            stage = 2 if stage2 else 1
+            bsz = (cfg.stage2_train_batch_size if stage2
+                   else cfg.train_batch_size)
+            it = BatchIterator(self.train_set, self.lookup, bsz,
+                               self.cfg.data.max_intraclass_num,
+                               seed=epoch)
+            step_fn = self._step_fn(stage)
+            t0 = time.perf_counter()
+            losses = []
+            for batch in it:
+                if stage2:
+                    batch = self._augment_stage2(batch)
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                self.state, m = step_fn(self.state, batch, self.store,
+                                        step_rng)
+                global_step += 1
+                losses.append(float(m["loss"]))
+                if global_step % cfg.log_every_steps == 0:
+                    self.logger.log({k: float(v) for k, v in m.items()},
+                                    global_step)
+            metrics = {"epoch": epoch, "stage": stage,
+                       "avg_train_loss": float(np.mean(losses)) if losses else 0.0,
+                       "epoch_seconds": time.perf_counter() - t0}
+            if (epoch + 1) % self.eval_every == 0:
+                eval_metrics = self.evaluator.evaluate(
+                    self.state.params["generator"], self.dev,
+                    batch_size=max(cfg.eval_batch_size, 1))
+                metrics.update(eval_metrics)
+                self.ckpt.save(epoch, self.state, metrics)
+                if not best or metrics.get(cfg.monitor, 0) >= best.get(
+                        cfg.monitor, float("-inf")):
+                    best = dict(metrics)
+            self.logger.log(metrics, global_step)
+        self.logger.close()
+        return best
