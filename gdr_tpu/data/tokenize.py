@@ -10,26 +10,37 @@ arrays these produce.
 
 from __future__ import annotations
 
-import hashlib
 import re
 from typing import Sequence
 
 import numpy as np
 
 
+def fnv1a(data: bytes) -> int:
+    """32-bit FNV-1a — shared with the native C++ tokenizer
+    (native/gdr_native.cpp) so both paths produce identical ids."""
+    h = 0x811C9DC5
+    for byte in data:
+        h = ((h ^ byte) * 0x01000193) & 0xFFFFFFFF
+    return h
+
+
 class HashTokenizer:
-    """Deterministic word-hash tokenizer: token = 2 + (md5(word) % (V-2)).
+    """Deterministic word-hash tokenizer: token = 2 + (fnv1a(word) % (V-2)).
 
     Ids 0/1 stay reserved (pad/eos) to match the model's conventions.
+    A C++ fast path (gdr_tpu.native) handles batch encoding when the native
+    library is built; results are bit-identical to this implementation.
     """
 
-    def __init__(self, vocab_size: int = 32128, lower: bool = True):
+    def __init__(self, vocab_size: int = 32128, lower: bool = True,
+                 use_native: bool = True):
         self.vocab_size = vocab_size
         self.lower = lower
+        self.use_native = use_native
 
     def _word_id(self, w: str) -> int:
-        h = int.from_bytes(hashlib.md5(w.encode()).digest()[:4], "little")
-        return 2 + h % (self.vocab_size - 2)
+        return 2 + fnv1a(w.encode()) % (self.vocab_size - 2)
 
     def encode(self, text: str, max_length: int) -> tuple[np.ndarray, np.ndarray]:
         if self.lower:
@@ -43,6 +54,11 @@ class HashTokenizer:
 
     def encode_batch(self, texts: Sequence[str], max_length: int
                      ) -> tuple[np.ndarray, np.ndarray]:
+        if self.use_native:
+            from gdr_tpu import native
+            if native.available():
+                return native.hash_encode_batch(texts, max_length,
+                                                self.vocab_size, self.lower)
         ids = np.zeros((len(texts), max_length), np.int32)
         mask = np.zeros((len(texts), max_length), np.int32)
         for i, t in enumerate(texts):

@@ -103,51 +103,85 @@ class TrieTensors:
 
 def build_trie(cid_to_docs: Mapping[str, Iterable[int]], kary: int,
                max_docs_per_cluster: int = 64,
-               doc_embeddings: np.ndarray | None = None) -> TrieTensors:
+               doc_embeddings: np.ndarray | None = None,
+               use_native: bool = True) -> TrieTensors:
     """Build packed trie tensors from a {CID string: [doc indices]} mapping.
 
     Semantics follow ``TreeBuilder.add`` (main_models.py:130-151): every CID
     becomes a root-to-node path and its documents attach at the terminal node
     (the parent of the reference's EOS child).
+
+    The node graph is packed by the C++ builder (native/gdr_native.cpp)
+    when available, with a pure-Python fallback producing identical arrays
+    (node numbering is BFS with per-level insertion in sorted-CID order in
+    both paths).
     """
-    # ---- 1. build node graph in BFS order ----------------------------------
-    # temp graph: per node a dict digit -> node id
-    child_maps: list[dict[int, int]] = [{}]
-    depths = [0]
-    docs_at: dict[int, list[int]] = {}
-
-    paths = {cid: [int(c) for c in cid.split("-")] if cid else [] for cid in cid_to_docs}
-    max_depth = max((len(p) for p in paths.values()), default=0)
-    # insert level-by-level to obtain BFS numbering
-    for level in range(max_depth):
-        for cid, digits in sorted(paths.items()):
-            if level >= len(digits):
-                continue
-            cur = 0
-            for d in digits[:level]:
-                cur = child_maps[cur][d]
-            d = digits[level]
-            if d not in child_maps[cur]:
-                if not (0 <= d < kary):
-                    raise ValueError(f"digit {d} out of range for kary={kary} (cid={cid})")
-                child_maps.append({})
-                depths.append(level + 1)
-                child_maps[cur][d] = len(child_maps) - 1
+    paths = {cid: [int(c) for c in cid.split("-")] if cid else []
+             for cid in cid_to_docs}
     for cid, digits in paths.items():
-        cur = 0
         for d in digits:
-            cur = child_maps[cur][d]
-        docs_at.setdefault(cur, []).extend(int(i) for i in cid_to_docs[cid])
+            if not (0 <= d < kary):
+                raise ValueError(
+                    f"digit {d} out of range for kary={kary} (cid={cid})")
+    sorted_cids = sorted(paths)
 
-    n = len(child_maps)
-    children = np.full((n, kary), -1, dtype=np.int32)
-    for node, cm in enumerate(child_maps):
-        for d, c in cm.items():
-            children[node, d] = c
-    depth = np.asarray(depths, dtype=np.int32)
-    eos_allowed = np.zeros(n, dtype=bool)
-    for node in docs_at:
-        eos_allowed[node] = True
+    built = None
+    if use_native:
+        try:
+            from gdr_tpu import native
+            if native.available():
+                built = native.build_trie_arrays(
+                    [paths[c] for c in sorted_cids], kary)
+        except Exception:
+            built = None
+
+    if built is not None:
+        children = built["children"]
+        depth = built["depth"]
+        eos_allowed = built["eos_allowed"].copy()
+        n = children.shape[0]
+        # native CSR groups the *CID rows*; map terminal nodes back to CIDs
+        docs_at: dict[int, list[int]] = {}
+        for node in np.nonzero(built["doc_count"] > 0)[0]:
+            s = int(built["doc_start"][node])
+            c = int(built["doc_count"][node])
+            assert c == 1  # one row per unique CID
+            cid = sorted_cids[int(built["doc_indices"][s])]
+            docs_at[int(node)] = [int(i) for i in cid_to_docs[cid]]
+    else:
+        # ---- pure-Python node graph, BFS numbering -------------------------
+        child_maps: list[dict[int, int]] = [{}]
+        depths = [0]
+        max_depth = max((len(p) for p in paths.values()), default=0)
+        for level in range(max_depth):
+            for cid in sorted_cids:
+                digits = paths[cid]
+                if level >= len(digits):
+                    continue
+                cur = 0
+                for d in digits[:level]:
+                    cur = child_maps[cur][d]
+                d = digits[level]
+                if d not in child_maps[cur]:
+                    child_maps.append({})
+                    depths.append(level + 1)
+                    child_maps[cur][d] = len(child_maps) - 1
+        docs_at = {}
+        for cid, digits in paths.items():
+            cur = 0
+            for d in digits:
+                cur = child_maps[cur][d]
+            docs_at.setdefault(cur, []).extend(int(i) for i in cid_to_docs[cid])
+
+        n = len(child_maps)
+        children = np.full((n, kary), -1, dtype=np.int32)
+        for node, cm in enumerate(child_maps):
+            for d, c in cm.items():
+                children[node, d] = c
+        depth = np.asarray(depths, dtype=np.int32)
+        eos_allowed = np.zeros(n, dtype=bool)
+        for node in docs_at:
+            eos_allowed[node] = True
 
     # ---- 2. CSR doc map + padded cluster table ------------------------------
     doc_start = np.zeros(n, dtype=np.int32)
