@@ -89,10 +89,15 @@ def main() -> None:
                                 dtype=np.float32)
     store /= np.linalg.norm(store, axis=1, keepdims=True)
 
-    model = GenerativeRetriever(cfg)
+    # serve in bf16: halves the HBM traffic of the weight-bound decode loop
+    # (PAWA's U matrix alone is 178M params read once per decode step)
+    model = GenerativeRetriever(cfg, dtype=jnp.bfloat16)
     params = init_params(model, jax.random.PRNGKey(0), input_len=seq_len)
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        params)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
-    log(f"params: {n_params/1e6:.1f}M")
+    log(f"params: {n_params/1e6:.1f}M (bf16)")
 
     ev_cfg = EvalConfig(num_beams=beams, num_return_sequences=beams,
                         max_output_length=cfg.max_output_length,

@@ -55,6 +55,8 @@ class ModelConfig:
     rdrop_loss: str = "Contrast"     # forced in ref modeling_t5.py:1169
     input_dropout: float = 0.5       # prob. of applying 10% input token dropout
                                      # (ref main_models.py:938-941)
+    denoising: bool = False          # masked reconstruction + discrimination
+                                     # aux heads (ref modeling_t5.py:1466-1501)
 
     # --- dual encoder (stage 2 doc tower) ------------------------------------
     encoder_d_model: int = 768

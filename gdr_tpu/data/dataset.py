@@ -72,6 +72,27 @@ def build_train_set(queries: Sequence[str], positives: Sequence[int],
                     source=[source] * q)
 
 
+def build_train_set_from_tokens(query_tokens: np.ndarray,
+                                query_mask: np.ndarray,
+                                positives: Sequence[int],
+                                doc_paths: Sequence[Sequence[int]],
+                                mcfg: ModelConfig,
+                                source: str = "qg") -> TrainSet:
+    """Assemble a TrainSet directly from token arrays — the path for
+    on-device query generation (no string round-trip)."""
+    q = query_tokens.shape[0]
+    labels = np.zeros((q, mcfg.max_output_length), np.int32)
+    lmask = np.zeros((q, mcfg.max_output_length), np.int32)
+    for i, doc in enumerate(positives):
+        labels[i], lmask[i] = digits_to_label(
+            doc_paths[doc], mcfg.kary, mcfg.max_output_length, mcfg.position)
+    return TrainSet(input_ids=np.asarray(query_tokens, np.int32),
+                    attn_mask=np.asarray(query_mask, np.int32),
+                    labels=labels, label_mask=lmask,
+                    pos_idx=np.asarray(positives, np.int32),
+                    source=[source] * q)
+
+
 def mix_sources(query_type: str, **source_sets: TrainSet) -> TrainSet:
     """``query_type`` is an underscore-joined mix, e.g. "gtq_qg_doc_aug"
     (ref main_utils.py:146-223)."""

@@ -77,6 +77,11 @@ class GenerativeRetriever(nn.Module):
                 d_model=c.d_model, decode_vocab_size=c.decode_vocab_size,
                 num_layers=c.adaptor_layer_num, num_heads=c.adaptor_num_heads,
                 dropout_rate=c.dropout_rate, dtype=self.dtype, name="pawa")
+        if c.denoising:
+            # mask-position discrimination head; the reconstruction head is
+            # tied to the shared embedding (ref modeling_t5.py:1261-1264)
+            self.denoise_disc = nn.Dense(2, use_bias=False, dtype=self.dtype,
+                                         name="denoise_disc")
         # [L, V] additive −1e9 validity mask (0 on valid entries)
         self.logit_mask = jnp.asarray(
             positional_logit_mask(c.kary, c.max_output_length, c.position))
@@ -136,6 +141,36 @@ class GenerativeRetriever(nn.Module):
             "query_embedding": self.query_embedding(enc),
         }
 
+    def init_all(self, input_ids: Array, attn_mask: Array,
+                 decoder_input_ids: Array, decoder_attn_mask: Array):
+        """Init-time method touching every optional head so the parameter
+        tree is complete regardless of which losses a train step uses."""
+        out = self.__call__(input_ids, attn_mask, decoder_input_ids,
+                            decoder_attn_mask)
+        if self.cfg.denoising:
+            keep = jnp.ones_like(input_ids, dtype=bool)
+            self.denoise(input_ids, attn_mask, keep, jax.random.PRNGKey(0))
+        return out
+
+    def denoise(self, input_ids: Array, attn_mask: Array, keep_mask: Array,
+                rng: Array, deterministic: bool = True) -> tuple[Array, Array]:
+        """Denoising auxiliary losses (ref modeling_t5.py:1466-1501):
+        reconstruction of masked inputs (head tied to shared embeddings) and
+        discrimination of corrupted positions."""
+        from gdr_tpu.ops.losses import denoising_losses
+
+        def enc(ids):
+            return self.encoder(self.shared(ids), attn_mask,
+                                deterministic=deterministic)
+
+        def predict_head(hidden):
+            w = self.shared.embedding.T.astype(self.dtype)
+            return jnp.einsum("bsd,dv->bsv", hidden * (self.cfg.d_model ** -0.5),
+                              w, preferred_element_type=jnp.float32)
+
+        return denoising_losses(enc, predict_head, self.denoise_disc,
+                                input_ids, attn_mask, keep_mask, rng)
+
     # ----------------------------------------------------- incremental decode
 
     def init_cache(self, enc: Array, max_len: int) -> dict[str, Array]:
@@ -181,4 +216,5 @@ def init_params(model: GenerativeRetriever, rng: jax.Array,
     dummy_dec = jnp.zeros((2, c.max_output_length), jnp.int32)
     mask = jnp.ones_like(dummy_inp)
     dec_mask = jnp.ones_like(dummy_dec)
-    return model.init({"params": rng}, dummy_inp, mask, dummy_dec, dec_mask)
+    return model.init({"params": rng}, dummy_inp, mask, dummy_dec, dec_mask,
+                      method=model.init_all)

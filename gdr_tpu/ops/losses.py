@@ -55,6 +55,70 @@ def rdrop_contrast_loss(decoder_hidden: Array, label_mask: Array) -> Array:
     return -(picked * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 
 
+def doc_reweight_loss(logits: Array, labels: Array, label_mask: Array,
+                      query_emb: Array, doc_emb: Array) -> Array:
+    """CE reweighted by per-example query/doc cosine similarity
+    (ref main_helper_loss.py:14-19 ``doc_reweight_loss``)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ll = jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32),
+                             axis=-1)[..., 0]
+    q = query_emb / jnp.maximum(
+        jnp.linalg.norm(query_emb, axis=-1, keepdims=True), 1e-9)
+    d = doc_emb / jnp.maximum(
+        jnp.linalg.norm(doc_emb, axis=-1, keepdims=True), 1e-9)
+    w = jax.nn.relu(jnp.einsum("bd,bd->b", q, d))          # [B]
+    mask = label_mask.astype(jnp.float32) * w[:, None]
+    return -(ll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+
+def query_token_infonce(query_emb: Array, decoder_hidden: Array,
+                        label_mask: Array) -> Array:
+    """Per-position InfoNCE: each query must pick its own decoder states out
+    of the batch (ref ``query_tloss`` in cal_contrastive,
+    main_models.py:1147-1154)."""
+    b = query_emb.shape[0]
+    logits = jnp.einsum("bd,cld->lbc", query_emb.astype(jnp.float32),
+                        decoder_hidden.astype(jnp.float32))   # [L, B, B]
+    labels = jnp.arange(b)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    picked = logp[:, labels, labels]                          # [L, B]
+    mask = label_mask.T.astype(jnp.float32)
+    return -(picked * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+
+def margin_ranking_loss(pos_prob: Array, neg_prob: Array,
+                        margin: float = 0.5) -> Array:
+    """Positive-vs-hard-negative probability margin (ref ``ranking_loss``,
+    main_models.py:1164-1174, torch MarginRankingLoss semantics)."""
+    return jnp.maximum(0.0, margin - (pos_prob - neg_prob)).mean()
+
+
+def denoising_losses(model_apply_encoder, denoise_predict_head,
+                     denoise_disc_head, input_ids: Array, attn_mask: Array,
+                     keep_mask: Array, rng: Array) -> tuple[Array, Array]:
+    """Masked-input reconstruction + mask-position discrimination
+    (ref modeling_t5.py:1466-1501): encode the corrupted input, predict the
+    original tokens (generation loss); sample replacements, re-encode, and
+    classify which positions were corrupted (discrimination loss).
+
+    ``model_apply_encoder(ids) -> hidden``; heads map hidden → logits.
+    ``keep_mask``: bool [B, S], False = corrupted position.
+    """
+    masked = jnp.where(keep_mask, input_ids, jnp.zeros_like(input_ids))
+    hidden = model_apply_encoder(masked)
+    gen_logits = denoise_predict_head(hidden)              # [B, S, V]
+    gen_loss = masked_cross_entropy(gen_logits, input_ids, attn_mask)
+
+    sampled = jax.random.categorical(rng, gen_logits.astype(jnp.float32),
+                                     axis=-1).astype(input_ids.dtype)
+    filled = jnp.where(keep_mask, input_ids, sampled)
+    hidden2 = model_apply_encoder(filled)
+    disc_logits = denoise_disc_head(hidden2)               # [B, S, 2]
+    disc_loss = masked_cross_entropy(disc_logits,
+                                     keep_mask.astype(jnp.int32), attn_mask)
+    return gen_loss, disc_loss
+
+
 def cluster_infonce(query: Array, positive: Array, candidates: Array,
                     candidate_mask: Array, tau: float = 0.05,
                     intra_rate: float = 1.0, squash: str = "tanh") -> Array:

@@ -64,7 +64,7 @@ def make_train_step(model: GenerativeRetriever, doc_encoder,
     tcfg = cfg.train
 
     def loss_fn(params, batch, store, rng):
-        rng_drop, rng_gate, rng_mask = jax.random.split(rng, 3)
+        rng_drop, rng_gate, rng_mask, rng_den, rng_den2 = jax.random.split(rng, 5)
         b = batch["input_ids"].shape[0]
 
         # ---- R-Drop: duplicate the batch (ref main_models.py:925-944) ------
@@ -88,6 +88,14 @@ def make_train_step(model: GenerativeRetriever, doc_encoder,
         scaled_hidden = out["decoder_hidden"] * (mcfg.d_model ** -0.5)
         rdrop = losses.rdrop_contrast_loss(scaled_hidden, label_mask)
         nci_loss = ce + mcfg.rdrop * rdrop
+
+        # denoising aux heads (ref modeling_t5.py:1466-1501, loss added at 1728)
+        if mcfg.denoising:
+            keep = jax.random.bernoulli(rng_den, 0.9, batch["input_ids"].shape)
+            gen_loss, disc_loss = model.apply(
+                params["generator"], batch["input_ids"], batch["attn_mask"],
+                keep, rng_den2, method=model.denoise)
+            nci_loss = nci_loss + gen_loss + disc_loss
 
         # ---- dense-stage contrastive (ref main_models.py:1184-1283) --------
         if use_dense_loss:

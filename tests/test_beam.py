@@ -137,3 +137,19 @@ def test_beam_wider_than_paths_marks_invalid(toy):
     cids = [codec.decode_tokens(np.asarray(res.sequences[0, k]), KARY)
             for k in range(K) if valid[k]]
     assert len(set(cids)) == 6
+
+
+def test_early_exit_matches_scan(toy):
+    trie, table, mask = toy
+    K = 4
+    step_fn = make_step_fn(table, mask)
+    kw = dict(batch=2, num_beams=K, kary=KARY, max_len=MAX_LEN,
+              children=jnp.asarray(trie.children),
+              eos_allowed=jnp.asarray(trie.eos_allowed), length_penalty=0.8)
+    cache = {"h": jnp.zeros((2 * K,), jnp.int32)}
+    a = beam_search(step_fn, cache, early_exit=True, **kw)
+    cache = {"h": jnp.zeros((2 * K,), jnp.int32)}
+    b = beam_search(step_fn, cache, early_exit=False, **kw)
+    np.testing.assert_array_equal(np.asarray(a.sequences), np.asarray(b.sequences))
+    np.testing.assert_allclose(np.asarray(a.scores), np.asarray(b.scores), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a.nodes), np.asarray(b.nodes))

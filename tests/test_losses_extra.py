@@ -1,0 +1,60 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gdr_tpu.config import tiny_config
+from gdr_tpu.ops import losses
+
+CFG = tiny_config(kary=3, max_output_length=5)
+
+
+def test_doc_reweight_loss():
+    rng = np.random.default_rng(0)
+    b, L, V, d = 3, 4, 8, 6
+    logits = jnp.asarray(rng.normal(size=(b, L, V)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, V, size=(b, L)), jnp.int32)
+    mask = jnp.ones((b, L))
+    q = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+    # aligned docs → positive weights → loss > 0; anti-aligned → weight 0
+    l_pos = losses.doc_reweight_loss(logits, labels, mask, q, q)
+    l_neg = losses.doc_reweight_loss(logits, labels, mask, q, -q)
+    assert float(l_pos) > 0
+    assert float(l_neg) == 0.0
+
+
+def test_query_token_infonce_prefers_own_decoder_states():
+    rng = np.random.default_rng(0)
+    b, L, d = 4, 3, 8
+    q = rng.normal(size=(b, d)).astype(np.float32) * 3
+    own = np.repeat(q[:, None], L, axis=1)          # decoder states = query
+    other = rng.normal(size=(b, L, d)).astype(np.float32)
+    mask = jnp.ones((b, L))
+    l_own = losses.query_token_infonce(jnp.asarray(q), jnp.asarray(own), mask)
+    l_other = losses.query_token_infonce(jnp.asarray(q), jnp.asarray(other), mask)
+    assert float(l_own) < float(l_other)
+
+
+def test_margin_ranking_loss():
+    pos = jnp.asarray([0.9, 0.2])
+    neg = jnp.asarray([0.1, 0.4])
+    l = losses.margin_ranking_loss(pos, neg, margin=0.5)
+    # first pair satisfies margin (0.8 > 0.5) → 0; second: 0.5-(-0.2)=0.7
+    np.testing.assert_allclose(float(l), 0.35, rtol=1e-6)
+
+
+def test_denoising_model_path():
+    from gdr_tpu.models.gdr import GenerativeRetriever, init_params
+    mcfg = dataclasses.replace(CFG.model, denoising=True, dropout_rate=0.0)
+    model = GenerativeRetriever(mcfg)
+    params = init_params(model, jax.random.PRNGKey(0))
+    assert "denoise_disc" in params["params"]
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(2, 100, size=(2, 8)), jnp.int32)
+    keep = jnp.asarray(rng.random((2, 8)) < 0.9)
+    gen_loss, disc_loss = model.apply(params, ids, jnp.ones_like(ids), keep,
+                                      jax.random.PRNGKey(1),
+                                      method=model.denoise)
+    assert np.isfinite(float(gen_loss)) and float(gen_loss) > 0
+    assert np.isfinite(float(disc_loss)) and float(disc_loss) > 0

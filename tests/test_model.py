@@ -43,7 +43,7 @@ def test_forward_shapes(model_and_params):
     L = CFG.model.max_output_length
     assert out["logits"].shape == (2, L, V)
     assert out["decoder_hidden"].shape == (2, L, CFG.model.d_model)
-    assert out["query_embedding"].shape == (2, CFG.model.d_model)
+    assert out["query_embedding"].shape == (2, CFG.model.encoder_d_model)
     assert np.all(np.isfinite(np.asarray(out["logits"][:, :, 1])))
 
 
