@@ -70,6 +70,11 @@ class TrainLoop:
                                                   f"{workdir}/ckpt")
         self.logger = MetricLogger(workdir, run_name="train")
         self._step_fns: dict[int, object] = {}
+        # auto-resume from the latest checkpoint (preemption recovery)
+        step, restored = self.ckpt.restore_latest(self.state)
+        if step is not None:
+            self.state = restored
+            print(f"resumed from checkpoint step {step}")
 
     def _step_fn(self, stage: int):
         if stage not in self._step_fns:
@@ -87,6 +92,11 @@ class TrainLoop:
         return batch
 
     def run(self, max_epochs: Optional[int] = None) -> dict[str, float]:
+        from gdr_tpu.utils.preemption import PreemptionGuard
+        with PreemptionGuard() as guard:
+            return self._run(guard, max_epochs)
+
+    def _run(self, guard, max_epochs: Optional[int] = None) -> dict[str, float]:
         cfg = self.cfg.train
         epochs = max_epochs or cfg.num_train_epochs
         best: dict[str, float] = {}
@@ -115,6 +125,13 @@ class TrainLoop:
                 if global_step % cfg.log_every_steps == 0:
                     self.logger.log({k: float(v) for k, v in m.items()},
                                     global_step)
+                if guard.should_stop:
+                    # preempted: persist a resume point and exit cleanly
+                    self.ckpt.save(epoch, self.state,
+                                   {"preempted": 1.0, "epoch": float(epoch)})
+                    self.logger.log({"preempted": 1}, global_step)
+                    self.logger.close()
+                    return best
             metrics = {"epoch": epoch, "stage": stage,
                        "avg_train_loss": float(np.mean(losses)) if losses else 0.0,
                        "epoch_seconds": time.perf_counter() - t0}

@@ -1,0 +1,62 @@
+"""TrainLoop orchestration: epochs, eval, checkpointing, preemption."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from gdr_tpu.config import tiny_config
+from gdr_tpu.data.dataset import TrainSet
+from gdr_tpu.data.synthetic import build_synthetic_task
+from gdr_tpu.eval.evaluator import EvalData
+from gdr_tpu.index.builder import Index
+from gdr_tpu.train.loop import TrainLoop
+from gdr_tpu.utils.preemption import PreemptionGuard
+
+
+def _world():
+    cfg = tiny_config(kary=3, max_output_length=5)
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, dropout_rate=0.0),
+        train=dataclasses.replace(cfg.train, train_batch_size=4,
+                                  eval_batch_size=4, num_train_epochs=2,
+                                  train_encoder_epoch=99,
+                                  learning_rate=3e-3,
+                                  decoder_learning_rate=3e-3),
+        eval=dataclasses.replace(cfg.eval, num_beams=4,
+                                 num_return_sequences=4,
+                                 score_rates=(0.0,)))
+    task = build_synthetic_task(n_docs=12, dim=16, kary=3, leaf_cap=4,
+                                seq_len=8, vocab_size=cfg.model.vocab_size,
+                                max_output_length=5, seed=0)
+    index = Index(store=task.store, trie=task.trie, paths=task.paths,
+                  cid_of_doc=task.cid_of_doc)
+    ts = TrainSet(input_ids=task.input_ids, attn_mask=task.attn_mask,
+                  labels=task.labels, label_mask=task.label_mask,
+                  pos_idx=task.pos_idx, source=["gtq"] * len(task.pos_idx))
+    dev = EvalData(input_ids=task.input_ids, attn_mask=task.attn_mask,
+                   gt_docs=task.gt_docs, gt_cids=task.gt_cids)
+    return cfg, index, ts, dev
+
+
+def test_loop_runs_and_checkpoints(tmp_path):
+    cfg, index, ts, dev = _world()
+    loop = TrainLoop(cfg, index, ts, dev, workdir=str(tmp_path), seed=0)
+    best = loop.run(max_epochs=2)
+    assert "recall1" in best
+    assert (tmp_path / "ckpt").exists()
+    assert (tmp_path / "train.metrics.jsonl").exists()
+
+    # resume: a fresh loop picks up the checkpoint
+    loop2 = TrainLoop(cfg, index, ts, dev, workdir=str(tmp_path), seed=0)
+    assert int(loop2.state.step) > 0
+
+
+def test_preemption_guard_stops_loop(tmp_path):
+    cfg, index, ts, dev = _world()
+    loop = TrainLoop(cfg, index, ts, dev, workdir=str(tmp_path / "p"), seed=0)
+    with PreemptionGuard() as guard:
+        guard.request_stop()
+        best = loop._run(guard, max_epochs=5)
+    # stopped after the first step of epoch 0 → checkpoint written
+    assert (tmp_path / "p" / "ckpt").exists()
