@@ -173,24 +173,31 @@ class GenerativeRetriever(nn.Module):
 
     # ----------------------------------------------------- incremental decode
 
-    def init_cache(self, enc: Array, max_len: int) -> dict[str, Array]:
+    def init_cache(self, enc: Array, max_len: int,
+                   num_beams: int = 1) -> dict[str, Array]:
+        """``enc``: un-expanded [B, S, d]; self/PAWA caches get B·K rows,
+        cross-attention K/V stay per-query (``cross_*`` convention)."""
         b = enc.shape[0]
-        cache = self.decoder.init_cache(b, max_len, enc)
+        cache = self.decoder.init_cache(b, max_len, enc, num_beams)
         if self.cfg.adaptor_decode:
-            cache.update(self.pawa.init_cache(b, max_len))
+            cache.update(self.pawa.init_cache(b * num_beams, max_len))
         return cache
 
     def decode_step(self, token: Array, cache: dict[str, Array],
-                    enc_mask: Array, pos: Array) -> tuple[Array, dict[str, Array]]:
-        """One beam-search step.
+                    enc_mask: Array, pos: Array,
+                    num_beams: int = 1) -> tuple[Array, dict[str, Array]]:
+        """One beam-search step over the full decode vocabulary.
 
-        token: [B] int32 tokens at position ``pos`` (decoder *inputs*).
-        Returns masked logits [B, V] predicting position ``pos`` and the
-        updated cache.
+        token: [B·K] int32 tokens at position ``pos`` (decoder *inputs*).
+        Returns masked logits [B·K, V] predicting position ``pos`` and the
+        updated cache.  (The beam decoder uses :meth:`decode_step_candidates`
+        — this full-V variant exists for parity testing and unconstrained
+        decoding.)
         """
         c = self.cfg
         x = self.decode_embed(token)[:, None]              # [B, 1, d]
-        hidden, cache = self.decoder.decode_step(x, cache, enc_mask, pos)
+        hidden, cache = self.decoder.decode_step(x, cache, enc_mask, pos,
+                                                 num_beams)
         s = hidden[:, 0] * (c.d_model ** -0.5)             # [B, d]
         logits = jnp.dot(s, self._head_weight(),
                          preferred_element_type=jnp.float32)
@@ -201,6 +208,43 @@ class GenerativeRetriever(nn.Module):
         logits = logits + jax.lax.dynamic_index_in_dim(
             self.logit_mask, pos, axis=0, keepdims=False)
         return logits, cache
+
+    def decode_step_candidates(self, token: Array, cache: dict[str, Array],
+                               enc_mask: Array, pos: Array,
+                               num_beams: int = 1
+                               ) -> tuple[Array, dict[str, Array]]:
+        """Decode fast path: logits for ONLY the step's candidate tokens.
+
+        With the positional codec, position ``pos`` can emit exactly the
+        contiguous token block ``pos·kary+2 …`` plus EOS — so the lm-head and
+        the PAWA delta are computed against a ``kary+1``-column slice instead
+        of the whole decode vocabulary (≈ V/(kary+1) ≈ 10× less head
+        bandwidth+FLOPs at kary 30 / depth 10).  Softmax over these columns
+        equals full-vocab softmax restricted to them, because the positional
+        mask (ref modeling_t5.py:1279-1301) makes every other column −1e9.
+
+        Returns candidate logits [B·K, kary+1] (digits…, EOS) and the cache.
+        """
+        c = self.cfg
+        kary = c.kary
+        x = self.decode_embed(token)[:, None]
+        hidden, cache = self.decoder.decode_step(x, cache, enc_mask, pos,
+                                                 num_beams)
+        s = hidden[:, 0] * (c.d_model ** -0.5)             # [B, d]
+        first = pos * kary + 2
+        head_rows = self._head_weight().T                  # [V, d]
+        w_dig = jax.lax.dynamic_slice_in_dim(head_rows, first, kary, axis=0)
+        w_cand = jnp.concatenate([w_dig, head_rows[1][None]], axis=0)
+        cand = jnp.einsum("bd,vd->bv", s, w_cand,
+                          preferred_element_type=jnp.float32)
+        if c.adaptor_decode:
+            a_t, cache = self.pawa.decode_step(x, cache, pos)
+            cand = cand + self.pawa.delta_candidates(a_t[:, 0], s, first, kary)
+        # final position admits only EOS (ref modeling_t5.py:1296)
+        last = pos >= c.max_output_length - 1
+        digit_mask = jnp.where(last, -1e9, 0.0)
+        cand = cand.at[:, :kary].add(digit_mask)
+        return cand, cache
 
 
 def shift_right(labels: Array, start_token: int = 0) -> Array:

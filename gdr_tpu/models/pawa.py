@@ -105,10 +105,12 @@ class PawaAdaptor(nn.Module):
                       self.dtype, name=f"layer_{i}")
             for i in range(self.num_layers)
         ]
-        # U: [d_model, d_model * V] — the per-prefix lm-head delta generator.
+        # U: the per-prefix lm-head delta generator, laid out [V, d_j, d_i]
+        # (vocab-major) so the decode fast path can slice the ≤ kary+1 valid
+        # columns of a position as *contiguous* memory (see delta_candidates).
         self.u = self.param(
             "u", nn.initializers.normal(0.02),
-            (self.d_model, self.d_model * self.decode_vocab_size), jnp.float32)
+            (self.decode_vocab_size, self.d_model, self.d_model), jnp.float32)
 
     def __call__(self, decode_embeds: Array, deterministic: bool = True) -> Array:
         """decode_embeds: [B, L, d] (embedded decoder *input* tokens)."""
@@ -146,19 +148,17 @@ class PawaAdaptor(nn.Module):
         return x, cache
 
     def delta_logits(self, adaptor_out: Array, decoder_out: Array) -> Array:
-        """Σ_ij A[...,j]·s[...,i]·U[j,(i,v)] without the [.., L, d, V] blow-up.
+        """Σ_ij A[...,j]·s[...,i]·U[v,j,i] without the [.., L, d, V] blow-up.
 
-        Per position: G[b] = A[b] @ U (one [B,d]·[d,d·V] MXU matmul, the
-        dominant FLOPs) reshaped to [B, d, V], then a batched matvec with the
-        decoder state.  The live intermediate is [B, d·V] instead of the
-        reference's [B, L, d, V] (modeling_t5.py:1636-1639).
+        Per position: G[b,v,:] = A[b]·U[v] (batched MXU matmuls, the dominant
+        FLOPs), then a matvec with the decoder state.  The live intermediate
+        is [B, V, d] instead of the reference's [B, L, d, V]
+        (modeling_t5.py:1636-1639).
 
         adaptor_out (A), decoder_out (s): [B, L, d] (or [B, d] for one step).
         Returns [B, L, V] (resp. [B, V]).
         """
         u = self.u.astype(self.dtype)
-        v = self.decode_vocab_size
-        d = self.d_model
 
         single = adaptor_out.ndim == 2
         if single:
@@ -167,10 +167,10 @@ class PawaAdaptor(nn.Module):
 
         def per_position(args: tuple[Array, Array]) -> Array:
             a_l, s_l = args                                  # [B, d] each
-            g = jnp.dot(a_l, u, preferred_element_type=jnp.float32)
-            g = g.reshape(a_l.shape[0], d, v)                # [B, d, V]
-            return jnp.einsum("bi,biv->bv", s_l.astype(jnp.float32),
-                              g).astype(self.dtype)
+            g = jnp.einsum("bj,vji->bvi", a_l, u,
+                           preferred_element_type=jnp.float32)  # [B, V, d]
+            return jnp.einsum("bvi,bi->bv", g,
+                              s_l.astype(jnp.float32)).astype(self.dtype)
 
         # serial over L (≤ max_output_length ≈ 10) to bound live memory
         out = jax.lax.map(per_position,
@@ -178,3 +178,25 @@ class PawaAdaptor(nn.Module):
                            decoder_out.transpose(1, 0, 2)))
         out = out.transpose(1, 0, 2)                         # [B, L, V]
         return out[:, 0] if single else out
+
+    def delta_candidates(self, adaptor_out: Array, decoder_out: Array,
+                         first_token: Array, kary: int) -> Array:
+        """Decode fast path: delta for ONLY the step-local candidate tokens.
+
+        The positional codec makes a step's valid tokens contiguous
+        (``first_token .. first_token+kary-1``) plus EOS, so the relevant
+        slice of U is one dynamic-slice of ``kary`` contiguous [d, d] blocks
+        + the EOS block — ``(kary+1)/V`` of the full bandwidth and FLOPs
+        (≈ 1/10 at the reference operating point of kary 30, depth 10).
+
+        adaptor_out/decoder_out: [B, d].  Returns [B, kary+1] (digits, EOS).
+        """
+        u = self.u.astype(self.dtype)
+        d = self.d_model
+        u_dig = jax.lax.dynamic_slice_in_dim(u, first_token, kary, axis=0)
+        u_eos = u[1]                                         # EOS block [d, d]
+        u_cand = jnp.concatenate([u_dig, u_eos[None]], axis=0)  # [kary+1,d,d]
+        g = jnp.einsum("bj,vji->bvi", adaptor_out, u_cand,
+                       preferred_element_type=jnp.float32)
+        return jnp.einsum("bvi,bi->bv", g,
+                          decoder_out.astype(jnp.float32))

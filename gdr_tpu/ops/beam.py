@@ -41,6 +41,18 @@ NEG_INF = -1.0e9
 StepFn = Callable[[Array, dict, Array], tuple[Array, dict]]
 
 
+def _reorder_cache(cache, src: Array):
+    """Gather cache rows by source-beam index; ``cross_*`` entries are
+    per-query (beam-invariant) and stay untouched."""
+
+    def f(path, x):
+        last = path[-1]
+        name = str(getattr(last, "key", last))
+        return x if name.startswith("cross_") else x[src]
+
+    return jax.tree_util.tree_map_with_path(f, cache)
+
+
 @struct.dataclass
 class BeamResult:
     sequences: Array     # [B, K, L+1] int32 — start token, digits tokens, EOS, pad
@@ -53,7 +65,8 @@ class BeamResult:
 def beam_search(step_fn: StepFn, cache: dict, batch: int, num_beams: int,
                 kary: int, max_len: int, children: Array, eos_allowed: Array,
                 length_penalty: float = 1.0,
-                early_exit: bool = True) -> BeamResult:
+                early_exit: bool = True,
+                candidates_mode: bool = False) -> BeamResult:
     """Run the constrained search.
 
     ``children``: int32 [N, kary] (-1 = absent); ``eos_allowed``: bool [N].
@@ -65,6 +78,16 @@ def beam_search(step_fn: StepFn, cache: dict, batch: int, num_beams: int,
     ``max_output_length`` (NQ: depth 3 vs the reference's fixed 10 decode
     steps, infer.sh:7), so this skips over half the decode work.  Set False
     (plain ``lax.scan``) when the search must be differentiable.
+
+    ``candidates_mode``: ``step_fn`` returns step-local candidate logits
+    [BK, kary+1] (digits…, EOS; position validity already applied) instead
+    of full-vocab logits — the decode fast path
+    (``GenerativeRetriever.decode_step_candidates``).  Softmax over the
+    candidate block is exactly the positional-masked full-vocab softmax
+    restricted to its nonzero support.
+
+    Cache entries whose key starts with ``cross_`` are treated as
+    beam-invariant and skipped on beam reorder.
     """
     bk = batch * num_beams
     n_opt = kary + 1                                   # digits + eos/pad slot
@@ -80,14 +103,18 @@ def beam_search(step_fn: StepFn, cache: dict, batch: int, num_beams: int,
 
     def step(carry, pos):
         tokens, node, scores, finished, eos_pos, cur_tok, cache = carry
-        logits, cache = step_fn(cur_tok, cache, pos)            # [BK, V]
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-
-        # ---- candidate logprobs over the kary+1 step-local options ---------
-        digit_tokens = pos * kary + TOKEN_OFFSET + jnp.arange(kary)  # [kary]
-        digit_logp = logp[:, :][jnp.arange(bk)[:, None],
-                                jnp.broadcast_to(digit_tokens, (bk, kary))]
-        eos_logp = logp[:, EOS_ID]
+        out, cache = step_fn(cur_tok, cache, pos)
+        if candidates_mode:                                     # [BK, kary+1]
+            logp = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
+            digit_logp = logp[:, :kary]
+            eos_logp = logp[:, kary]
+        else:                                                   # [BK, V]
+            logp = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
+            # gather the kary+1 step-local options
+            digit_tokens = pos * kary + TOKEN_OFFSET + jnp.arange(kary)
+            digit_logp = logp[:, :][jnp.arange(bk)[:, None],
+                                    jnp.broadcast_to(digit_tokens, (bk, kary))]
+            eos_logp = logp[:, EOS_ID]
 
         ch = children[node]                                      # [BK, kary]
         digit_ok = ch >= 0
@@ -127,7 +154,7 @@ def beam_search(step_fn: StepFn, cache: dict, batch: int, num_beams: int,
         eos_pos = jnp.where(is_eos, pos, eos_pos_g)
         tokens = jax.lax.dynamic_update_slice(
             tokens, new_tok[:, None], (0, pos + 1))
-        cache = jax.tree_util.tree_map(lambda x: x[src], cache)
+        cache = _reorder_cache(cache, src)
         scores = top_scores.reshape(-1)
         return (tokens, node, scores, finished, eos_pos, new_tok, cache), None
 
@@ -190,16 +217,16 @@ def generate_cids(model, params, input_ids: Array, attn_mask: Array,
     enc = model.apply(params, input_ids, attn_mask, method=model.encode)
     query_emb = model.apply(params, enc, method=model.query_embedding)
 
-    # expand to beams: row-major [B*K, ...]
-    enc_b = jnp.repeat(enc, num_beams, axis=0)
-    mask_b = jnp.repeat(attn_mask, num_beams, axis=0)
-    cache = model.apply(params, enc_b, max_len, method=model.init_cache)
+    # cross K/V are projected once per query; only self/PAWA caches get
+    # beam-expanded rows (see Decoder.init_cache)
+    cache = model.apply(params, enc, max_len, num_beams,
+                        method=model.init_cache)
 
     def step_fn(cur_tok, cache, pos):
-        return model.apply(params, cur_tok, cache, mask_b, pos,
-                           method=model.decode_step)
+        return model.apply(params, cur_tok, cache, attn_mask, pos, num_beams,
+                           method=model.decode_step_candidates)
 
     result = beam_search(step_fn, cache, batch, num_beams,
                          model.cfg.kary, max_len, children, eos_allowed,
-                         length_penalty)
+                         length_penalty, candidates_mode=True)
     return result, query_emb

@@ -131,3 +131,57 @@ def test_cluster_infonce_intra_rate_changes_loss():
     l1 = losses.cluster_infonce(q, pos, cands, cmask, intra_rate=1.0)
     l2 = losses.cluster_infonce(q, pos, cands, cmask, intra_rate=0.1)
     assert not np.isclose(float(l1), float(l2))
+
+
+def test_candidate_decode_matches_full_slice(model_and_params):
+    """decode_step_candidates must equal the (positionally valid) slice of
+    the full-vocabulary decode_step logits."""
+    model, params = model_and_params
+    input_ids, attn, labels, label_mask = _dummy_batch()
+    L, kary = CFG.model.max_output_length, CFG.model.kary
+    dec_in = shift_right(labels)
+
+    enc = model.apply(params, input_ids, attn, method=model.encode)
+    cache_full = model.apply(params, enc, L, method=model.init_cache)
+    cache_cand = model.apply(params, enc, L, method=model.init_cache)
+    for pos in range(L):
+        full, cache_full = model.apply(params, dec_in[:, pos], cache_full,
+                                       attn, pos, method=model.decode_step)
+        cand, cache_cand = model.apply(params, dec_in[:, pos], cache_cand,
+                                       attn, pos,
+                                       method=model.decode_step_candidates)
+        full = np.asarray(full)
+        cand = np.asarray(cand)
+        lo = pos * kary + 2
+        if pos < L - 1:
+            np.testing.assert_allclose(cand[:, :kary], full[:, lo:lo + kary],
+                                       rtol=2e-4, atol=2e-4)
+        else:
+            assert np.all(cand[:, :kary] < -1e8)
+        np.testing.assert_allclose(cand[:, kary], full[:, 1],
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_beam_grouped_cross_attention(model_and_params):
+    """Multi-beam decode with grouped cross-attention equals the naive
+    per-beam expansion."""
+    model, params = model_and_params
+    input_ids, attn, labels, _ = _dummy_batch()
+    L, K = CFG.model.max_output_length, 3
+    enc = model.apply(params, input_ids, attn, method=model.encode)
+    b = enc.shape[0]
+
+    # grouped: cross K/V per query
+    cache_g = model.apply(params, enc, L, K, method=model.init_cache)
+    tok = jnp.zeros((b * K,), jnp.int32)
+    out_g, _ = model.apply(params, tok, cache_g, attn, 0, K,
+                           method=model.decode_step)
+
+    # naive: expand encoder per beam, num_beams=1
+    enc_b = jnp.repeat(enc, K, axis=0)
+    attn_b = jnp.repeat(attn, K, axis=0)
+    cache_n = model.apply(params, enc_b, L, method=model.init_cache)
+    out_n, _ = model.apply(params, tok, cache_n, attn_b, 0,
+                           method=model.decode_step)
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_n),
+                               rtol=2e-3, atol=2e-3)
