@@ -50,12 +50,18 @@ def expand_candidates(nodes: Array, valid: Array, cluster_of_node: Array,
 def rerank(doc_store: Array, query_emb: Array, nodes: Array,
            beam_scores: Array, valid: Array, cluster_of_node: Array,
            cluster_docs: Array, cluster_doc_mask: Array, alphas: Array,
-           top_r: int, squash: str = "tanh") -> RerankResult:
+           top_r: int, squash: str = "tanh",
+           use_pallas: bool = False,
+           pallas_interpret: bool = False) -> RerankResult:
     """Fused dense re-rank + α-sweep.
 
     doc_store: [N, d] document embeddings (precomputed stage 1, or live
     dual-encoder output in stage 2).  query_emb: [B, d].  nodes/beam_scores/
     valid: [B, K] from the beam search (scores length-normalised).
+
+    ``use_pallas``: stream candidate rows through the fused Pallas kernel
+    (gdr_tpu.ops.pallas.rerank_kernel) instead of an XLA gather that
+    materialises [B, K, cap, d] in HBM.  tanh squashing only.
     """
     fn = jnp.tanh if squash == "tanh" else jax.nn.sigmoid
     docs, mask = expand_candidates(nodes, valid, cluster_of_node,
@@ -66,10 +72,18 @@ def rerank(doc_store: Array, query_emb: Array, nodes: Array,
     probs = jax.nn.softmax(
         jnp.where(valid, beam_scores, NEG_INF).astype(jnp.float32), axis=-1)
 
-    cand_emb = doc_store[docs.reshape(b, -1)].reshape(b, k, cap, -1)
-    sim = fn(jnp.einsum("bd,bkcd->bkc", query_emb.astype(jnp.float32),
-                        cand_emb.astype(jnp.float32)))
-    sim = jnp.where(mask, sim, NEG_INF)
+    if use_pallas and squash == "tanh":
+        from gdr_tpu.ops.pallas.rerank_kernel import rerank_scores_pallas
+        qrows = jnp.repeat(query_emb, k, axis=0)           # [B*K, d]
+        sim = rerank_scores_pallas(doc_store, docs.reshape(b * k, cap),
+                                   qrows, mask.reshape(b * k, cap),
+                                   interpret=pallas_interpret)
+        sim = sim.reshape(b, k, cap)
+    else:
+        cand_emb = doc_store[docs.reshape(b, -1)].reshape(b, k, cap, -1)
+        sim = fn(jnp.einsum("bd,bkcd->bkc", query_emb.astype(jnp.float32),
+                            cand_emb.astype(jnp.float32)))
+        sim = jnp.where(mask, sim, NEG_INF)
 
     fused = sim[None] + alphas[:, None, None, None] * probs[None, :, :, None]
     fused = jnp.where(mask[None], fused, NEG_INF)          # [A, B, K, cap]
