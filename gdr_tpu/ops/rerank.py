@@ -72,7 +72,14 @@ def rerank(doc_store: Array, query_emb: Array, nodes: Array,
     probs = jax.nn.softmax(
         jnp.where(valid, beam_scores, NEG_INF).astype(jnp.float32), axis=-1)
 
-    if use_pallas and squash == "tanh":
+    from gdr_tpu.ops.quantize import QuantizedStore, quantized_dot
+    if isinstance(doc_store, QuantizedStore):
+        # int8 store: dequantising dot (memory-pressure configuration)
+        q = jnp.broadcast_to(query_emb[:, None, :],
+                             (b, k, query_emb.shape[-1]))
+        sim = fn(quantized_dot(q, doc_store, docs))
+        sim = jnp.where(mask, sim, NEG_INF)
+    elif use_pallas and squash == "tanh":
         from gdr_tpu.ops.pallas.rerank_kernel import rerank_scores_pallas
         qrows = jnp.repeat(query_emb, k, axis=0)           # [B*K, d]
         sim = rerank_scores_pallas(doc_store, docs.reshape(b * k, cap),

@@ -86,3 +86,29 @@ def test_rerank_invalid_beams_excluded(setup):
     assert v.sum() == 2  # only docs 0,1 from the single valid beam
     # cluster probs: dead beam gets 0
     np.testing.assert_allclose(np.asarray(res.cluster_probs[0]), [1.0, 0.0])
+
+
+def test_rerank_quantized_store(setup):
+    from gdr_tpu.ops.quantize import quantize_store
+
+    trie, store = setup
+    rng = np.random.default_rng(2)
+    q = rng.normal(size=(1, DIM)).astype(np.float32)
+    n11 = trie.node_of_path([1, 1])
+    n0 = trie.node_of_path([0])
+    nodes = jnp.asarray([[n11, n0]])
+    scores = jnp.asarray([[-0.2, -0.5]], np.float32)
+    valid = jnp.ones((1, 2), bool)
+    args = dict(query_emb=jnp.asarray(q), nodes=nodes, beam_scores=scores,
+                valid=valid,
+                cluster_of_node=jnp.asarray(trie.cluster_of_node),
+                cluster_docs=jnp.asarray(trie.cluster_docs),
+                cluster_doc_mask=jnp.asarray(trie.cluster_doc_mask),
+                alphas=jnp.asarray([0.0], np.float32), top_r=5)
+    ref = rerank(jnp.asarray(store), **args)
+    got = rerank(quantize_store(store), **args)
+    # int8 quantization: rankings should agree on well-separated scores
+    np.testing.assert_array_equal(np.asarray(got.doc_ids),
+                                  np.asarray(ref.doc_ids))
+    np.testing.assert_allclose(np.asarray(got.scores),
+                               np.asarray(ref.scores), atol=0.05)
