@@ -89,10 +89,16 @@ def main() -> None:
                                max_docs_per_cluster=64)
     log(f"trie: {trie.num_nodes} nodes, {trie.num_clusters} clusters")
 
-    log("building store ...")
-    store = rng.standard_normal((n_docs, cfg.encoder_d_model),
-                                dtype=np.float32)
-    store /= np.linalg.norm(store, axis=1, keepdims=True)
+    log("building store (on-device) ...")
+    # generate on-device: a host-built 1 GB store would crawl through the
+    # tunnel; bf16 halves the re-rank gather bandwidth
+    @jax.jit
+    def make_store(key):
+        s = jax.random.normal(key, (n_docs, cfg.encoder_d_model), jnp.float32)
+        s = s / jnp.linalg.norm(s, axis=1, keepdims=True)
+        return s.astype(jnp.bfloat16)
+
+    store = make_store(jax.random.PRNGKey(7))
 
     # serve in bf16: halves the HBM traffic of the weight-bound decode loop
     # (PAWA's U matrix alone is 178M params read once per decode step)

@@ -61,6 +61,10 @@ class ModelConfig:
     # --- dual encoder (stage 2 doc tower) ------------------------------------
     encoder_d_model: int = 768
 
+    # --- memory --------------------------------------------------------------
+    remat: bool = False              # rematerialize transformer blocks in the
+                                     # backward pass (jax.checkpoint)
+
     @property
     def output_vocab_size(self) -> int:
         """Digits per CID position (== kary).  Ref `--output_vocab_size`."""

@@ -49,7 +49,7 @@ class GenerativeRetriever(nn.Module):
             layer_norm_epsilon=c.layer_norm_epsilon,
             relative_attention_num_buckets=c.relative_attention_num_buckets,
             relative_attention_max_distance=c.relative_attention_max_distance,
-            dtype=self.dtype, name="encoder")
+            dtype=self.dtype, remat=c.remat, name="encoder")
         self.decode_embed = nn.Embed(
             c.decode_vocab_size, c.d_model,
             embedding_init=nn.initializers.normal(1.0),
@@ -61,7 +61,7 @@ class GenerativeRetriever(nn.Module):
             layer_norm_epsilon=c.layer_norm_epsilon,
             relative_attention_num_buckets=c.relative_attention_num_buckets,
             relative_attention_max_distance=c.relative_attention_max_distance,
-            dtype=self.dtype, name="decoder")
+            dtype=self.dtype, remat=c.remat, name="decoder")
         if not c.tie_decode_embedding:
             self.lm_head = self.param(
                 "lm_head", nn.initializers.normal(0.02),

@@ -299,16 +299,21 @@ class Encoder(nn.Module):
     relative_attention_num_buckets: int = 32
     relative_attention_max_distance: int = 128
     dtype: Any = jnp.float32
+    remat: bool = False
 
     def setup(self) -> None:
         self.rel_bias = RelativePositionBias(
             self.num_heads, self.relative_attention_num_buckets,
             self.relative_attention_max_distance, bidirectional=True,
             dtype=self.dtype)
+        # rematerialize block activations in the backward pass when asked —
+        # trades recompute FLOPs for HBM (jax.checkpoint via flax lifting)
+        block_cls = (nn.remat(EncoderBlock, static_argnums=(3,))
+                     if self.remat else EncoderBlock)
         self.blocks = [
-            EncoderBlock(self.d_model, self.num_heads, self.d_kv, self.d_ff,
-                         self.dropout_rate, self.layer_norm_epsilon, self.dtype,
-                         name=f"block_{i}")
+            block_cls(self.d_model, self.num_heads, self.d_kv, self.d_ff,
+                      self.dropout_rate, self.layer_norm_epsilon, self.dtype,
+                      name=f"block_{i}")
             for i in range(self.num_layers)
         ]
         self.final_norm = RMSNorm(self.layer_norm_epsilon, self.dtype)
@@ -337,16 +342,19 @@ class Decoder(nn.Module):
     relative_attention_num_buckets: int = 32
     relative_attention_max_distance: int = 128
     dtype: Any = jnp.float32
+    remat: bool = False
 
     def setup(self) -> None:
         self.rel_bias = RelativePositionBias(
             self.num_heads, self.relative_attention_num_buckets,
             self.relative_attention_max_distance, bidirectional=False,
             dtype=self.dtype)
+        block_cls = (nn.remat(DecoderBlock, static_argnums=(5,))
+                     if self.remat else DecoderBlock)
         self.blocks = [
-            DecoderBlock(self.d_model, self.num_heads, self.d_kv, self.d_ff,
-                         self.dropout_rate, self.layer_norm_epsilon, self.dtype,
-                         name=f"block_{i}")
+            block_cls(self.d_model, self.num_heads, self.d_kv, self.d_ff,
+                      self.dropout_rate, self.layer_norm_epsilon, self.dtype,
+                      name=f"block_{i}")
             for i in range(self.num_layers)
         ]
         self.final_norm = RMSNorm(self.layer_norm_epsilon, self.dtype)

@@ -109,4 +109,8 @@ def build_optimizer(cfg: TrainConfig, gen_params: Any, enc_params: Any | None,
         "doc_wd": adamw(cfg.doc_encoder_learning_rate, cfg.weight_decay),
         "doc_nd": adamw(cfg.doc_encoder_learning_rate, 0.0),
     }
-    return optax.multi_transform(transforms, labels), labels
+    opt = optax.multi_transform(transforms, labels)
+    if cfg.gradient_accumulation_steps > 1:
+        # ref derives grad-accum as 8/n_gpu (main.py:410); here any factor
+        opt = optax.MultiSteps(opt, cfg.gradient_accumulation_steps)
+    return opt, labels
