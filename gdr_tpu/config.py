@@ -47,6 +47,8 @@ class ModelConfig:
     # --- PAWA adaptor (per-prefix adaptive lm-head) --------------------------
     # ref modeling_t5.py:1229-1244 (efficient variant), applied at 1615-1639
     adaptor_decode: bool = True
+    adaptor_efficient: bool = True   # False → the reference's slow variant
+                                     # (full [d,d] transform per prefix)
     adaptor_layer_num: int = 4
     adaptor_num_heads: int = 8
 

@@ -1,0 +1,95 @@
+"""Pretrained-weight import: HuggingFace T5 → gdr_tpu parameter trees.
+
+The reference warm-starts from t5-base by copying the pretrained encoder and
+shared-embedding tensors into its custom model
+(``param.copy_(pretrain_params[name])`` for names starting with ``shared.``
+/ ``encoder.``, main_models.py:786-793) — the decoder side is custom
+(decode vocabulary, asymmetric depth, PAWA) and trains from scratch.
+
+``load_t5_encoder`` does the same against a HuggingFace T5 state dict
+(torch tensors or numpy arrays, standard ``t5-base`` naming).  Dense kernels
+are transposed (torch stores [out, in], flax [in, out]).  Works offline from
+a local checkpoint directory via ``state_dict_from_pretrained``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import numpy as np
+
+
+def _np(t: Any) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def _set(tree: dict, path: list[str], value: np.ndarray) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node[p]
+    old = node[path[-1]]
+    assert old.shape == value.shape, (path, old.shape, value.shape)
+    node[path[-1]] = value.astype(np.asarray(old).dtype)
+
+
+def hf_encoder_mapping(num_layers: int) -> dict[str, list[str]]:
+    """HF t5 state-dict name → path inside ``params['params']`` (this repo).
+
+    Marked "T" entries require a transpose (handled in load_t5_encoder).
+    """
+    m: dict[str, list[str]] = {
+        "shared.weight": ["shared", "embedding"],
+        "encoder.final_layer_norm.weight": ["encoder", "final_norm", "scale"],
+        ("encoder.block.0.layer.0.SelfAttention."
+         "relative_attention_bias.weight"): ["encoder", "rel_bias",
+                                             "rel_embedding"],
+    }
+    for i in range(num_layers):
+        hf = f"encoder.block.{i}.layer"
+        my = f"block_{i}"
+        for proj in ("q", "k", "v", "o"):
+            m[f"{hf}.0.SelfAttention.{proj}.weight"] = \
+                ["encoder", my, "attn", proj, "kernel"]
+        m[f"{hf}.0.layer_norm.weight"] = ["encoder", my, "ln1", "scale"]
+        m[f"{hf}.1.DenseReluDense.wi.weight"] = ["encoder", my, "ff", "wi",
+                                                 "kernel"]
+        m[f"{hf}.1.DenseReluDense.wo.weight"] = ["encoder", my, "ff", "wo",
+                                                 "kernel"]
+        m[f"{hf}.1.layer_norm.weight"] = ["encoder", my, "ln2", "scale"]
+    return m
+
+
+def load_t5_encoder(params: dict, state_dict: Mapping[str, Any],
+                    num_layers: int) -> dict:
+    """Copy HF T5 encoder + shared embeddings into a gdr_tpu param tree.
+
+    ``params``: the tree returned by ``init_params`` (mutated copy returned).
+    Unmatched HF entries (decoder.*, lm_head) are ignored, mirroring the
+    reference's encoder-only warm start.
+    """
+    import jax
+
+    tree = jax.tree_util.tree_map(np.asarray, params)
+    inner = tree["params"]
+    mapping = hf_encoder_mapping(num_layers)
+    copied = 0
+    for hf_name, path in mapping.items():
+        if hf_name not in state_dict:
+            raise KeyError(f"missing {hf_name} in state dict")
+        val = _np(state_dict[hf_name])
+        # torch Linear stores [out, in]; flax Dense kernels are [in, out]
+        if path[-1] == "kernel":
+            val = val.T
+        _set(inner, path, val)
+        copied += 1
+    assert copied == len(mapping)
+    return tree
+
+
+def state_dict_from_pretrained(path: str) -> Mapping[str, Any]:
+    """Load a local HF T5 checkpoint's state dict (no network)."""
+    from transformers import T5ForConditionalGeneration
+    model = T5ForConditionalGeneration.from_pretrained(path)
+    return model.state_dict()

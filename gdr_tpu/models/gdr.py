@@ -27,7 +27,7 @@ import numpy as np
 from flax import linen as nn
 
 from gdr_tpu.config import ModelConfig
-from gdr_tpu.models.pawa import PawaAdaptor
+from gdr_tpu.models.pawa import FullPawaAdaptor, PawaAdaptor
 from gdr_tpu.models.t5 import Decoder, Encoder
 from gdr_tpu.ops.masks import positional_logit_mask
 
@@ -73,7 +73,8 @@ class GenerativeRetriever(nn.Module):
             self.query_proj = nn.Dense(c.encoder_d_model, use_bias=False,
                                        dtype=self.dtype, name="query_proj")
         if c.adaptor_decode:
-            self.pawa = PawaAdaptor(
+            pawa_cls = PawaAdaptor if c.adaptor_efficient else FullPawaAdaptor
+            self.pawa = pawa_cls(
                 d_model=c.d_model, decode_vocab_size=c.decode_vocab_size,
                 num_layers=c.adaptor_layer_num, num_heads=c.adaptor_num_heads,
                 dropout_rate=c.dropout_rate, dtype=self.dtype, name="pawa")
@@ -119,11 +120,18 @@ class GenerativeRetriever(nn.Module):
         hidden = self.decoder(x, enc, decoder_attn_mask, enc_mask,
                               deterministic=deterministic)
         s = hidden * (c.d_model ** -0.5)        # ref modeling_t5.py:1577
-        logits = jnp.einsum("bld,dv->blv", s, self._head_weight(),
-                            preferred_element_type=jnp.float32)
-        if c.adaptor_decode:
-            a = self.pawa(x, deterministic=deterministic)
-            logits = logits + self.pawa.delta_logits(a, s).astype(jnp.float32)
+        if c.adaptor_decode and not c.adaptor_efficient:
+            # slow variant: per-prefix [d,d] transform replaces the head input
+            a = self.pawa(decoder_input_ids, deterministic=deterministic)
+            s_t = self.pawa.transform(a, s)
+            logits = jnp.einsum("bld,dv->blv", s_t, self._head_weight(),
+                                preferred_element_type=jnp.float32)
+        else:
+            logits = jnp.einsum("bld,dv->blv", s, self._head_weight(),
+                                preferred_element_type=jnp.float32)
+            if c.adaptor_decode:
+                a = self.pawa(x, deterministic=deterministic)
+                logits = logits + self.pawa.delta_logits(a, s).astype(jnp.float32)
         logits = logits + self.logit_mask[None, : logits.shape[1]]
         return logits, hidden
 
@@ -199,12 +207,18 @@ class GenerativeRetriever(nn.Module):
         hidden, cache = self.decoder.decode_step(x, cache, enc_mask, pos,
                                                  num_beams)
         s = hidden[:, 0] * (c.d_model ** -0.5)             # [B, d]
-        logits = jnp.dot(s, self._head_weight(),
-                         preferred_element_type=jnp.float32)
-        if c.adaptor_decode:
-            a_t, cache = self.pawa.decode_step(x, cache, pos)
-            logits = logits + self.pawa.delta_logits(
-                a_t[:, 0], s).astype(jnp.float32)
+        if c.adaptor_decode and not c.adaptor_efficient:
+            a_t, cache = self.pawa.decode_step(token, cache, pos)
+            s_t = self.pawa.transform(a_t[:, 0], s)
+            logits = jnp.dot(s_t, self._head_weight(),
+                             preferred_element_type=jnp.float32)
+        else:
+            logits = jnp.dot(s, self._head_weight(),
+                             preferred_element_type=jnp.float32)
+            if c.adaptor_decode:
+                a_t, cache = self.pawa.decode_step(x, cache, pos)
+                logits = logits + self.pawa.delta_logits(
+                    a_t[:, 0], s).astype(jnp.float32)
         logits = logits + jax.lax.dynamic_index_in_dim(
             self.logit_mask, pos, axis=0, keepdims=False)
         return logits, cache
@@ -235,11 +249,18 @@ class GenerativeRetriever(nn.Module):
         head_rows = self._head_weight().T                  # [V, d]
         w_dig = jax.lax.dynamic_slice_in_dim(head_rows, first, kary, axis=0)
         w_cand = jnp.concatenate([w_dig, head_rows[1][None]], axis=0)
-        cand = jnp.einsum("bd,vd->bv", s, w_cand,
-                          preferred_element_type=jnp.float32)
-        if c.adaptor_decode:
-            a_t, cache = self.pawa.decode_step(x, cache, pos)
-            cand = cand + self.pawa.delta_candidates(a_t[:, 0], s, first, kary)
+        if c.adaptor_decode and not c.adaptor_efficient:
+            a_t, cache = self.pawa.decode_step(token, cache, pos)
+            s_t = self.pawa.transform(a_t[:, 0], s)
+            cand = jnp.einsum("bd,vd->bv", s_t, w_cand,
+                              preferred_element_type=jnp.float32)
+        else:
+            cand = jnp.einsum("bd,vd->bv", s, w_cand,
+                              preferred_element_type=jnp.float32)
+            if c.adaptor_decode:
+                a_t, cache = self.pawa.decode_step(x, cache, pos)
+                cand = cand + self.pawa.delta_candidates(a_t[:, 0], s, first,
+                                                         kary)
         # final position admits only EOS (ref modeling_t5.py:1296)
         last = pos >= c.max_output_length - 1
         digit_mask = jnp.where(last, -1e9, 0.0)

@@ -80,6 +80,99 @@ class PawaLayer(nn.Module):
         return self.ln3(x_t + h), cache_k, cache_v
 
 
+class FullPawaAdaptor(nn.Module):
+    """The reference's *slow* PAWA variant (``adaptor_efficient=False``,
+    modeling_t5.py:1223-1228, applied 1579-1613): a stack over its own
+    embedding table emits, per position, a full [d, d] transform that
+    left-multiplies the base lm-head.
+
+    The reference materialises ``lm_head = A_w · Wᵀ`` as [B, L, d, V];
+    associativity lets us compute ``s' = s · A_w`` first ([B, L, d]) and
+    reuse the base head — no [.., d, V] tensor ever exists.
+    """
+
+    d_model: int
+    decode_vocab_size: int
+    num_layers: int = 4
+    num_heads: int = 8
+    d_ff: int = 0
+    dropout_rate: float = 0.0
+    dtype: Any = jnp.float32
+
+    def setup(self) -> None:
+        d_ff = self.d_ff or 4 * self.d_model
+        # separate adaptor embedding table (ref modeling_t5.py:1225)
+        self.embed = nn.Embed(self.decode_vocab_size, self.d_model,
+                              embedding_init=nn.initializers.normal(1.0),
+                              dtype=self.dtype, name="embed")
+        self.layers = [
+            PawaLayer(self.d_model, self.num_heads, d_ff, self.dropout_rate,
+                      self.dtype, name=f"layer_{i}")
+            for i in range(self.num_layers)
+        ]
+        # [d, d·d] weight-matrix generator (the parameter-heavy part)
+        self.u2 = self.param("u2", nn.initializers.normal(0.02),
+                             (self.d_model, self.d_model * self.d_model),
+                             jnp.float32)
+
+    def _memory(self, b: int) -> Array:
+        # ref cross-attends to zeros (modeling_t5.py:1589) — a no-op through
+        # biasless projections, kept for structural parity
+        return jnp.zeros((b, 1, self.d_model), self.dtype)
+
+    def __call__(self, decoder_input_ids: Array,
+                 deterministic: bool = True) -> Array:
+        x = self.embed(decoder_input_ids)
+        mem = self._memory(x.shape[0])
+        for layer in self.layers:
+            x = layer(x, mem, deterministic=deterministic)
+        return x * (self.d_model ** -0.5)      # ref scale (:1595)
+
+    def transform(self, adaptor_out: Array, decoder_out: Array) -> Array:
+        """s' = s · reshape(A @ U2, [d, d]) per position.  Inputs [B, L, d]
+        (or [B, d]); returns same shape."""
+        u2 = self.u2.astype(self.dtype)
+        d = self.d_model
+        single = adaptor_out.ndim == 2
+        if single:
+            adaptor_out = adaptor_out[:, None]
+            decoder_out = decoder_out[:, None]
+
+        def per_position(args):
+            a_l, s_l = args
+            w = jnp.dot(a_l, u2, preferred_element_type=jnp.float32)
+            w = w.reshape(a_l.shape[0], d, d)
+            return jnp.einsum("bi,bij->bj", s_l.astype(jnp.float32),
+                              w).astype(self.dtype)
+
+        out = jax.lax.map(per_position, (adaptor_out.transpose(1, 0, 2),
+                                         decoder_out.transpose(1, 0, 2)))
+        out = out.transpose(1, 0, 2)
+        return out[:, 0] if single else out
+
+    def init_cache(self, batch: int, max_len: int) -> dict[str, Array]:
+        d_kv = self.d_model // self.num_heads
+        cache = {}
+        for i in range(self.num_layers):
+            cache[f"pawa_k_{i}"] = jnp.zeros(
+                (batch, self.num_heads, max_len, d_kv), self.dtype)
+            cache[f"pawa_v_{i}"] = jnp.zeros(
+                (batch, self.num_heads, max_len, d_kv), self.dtype)
+        return cache
+
+    def decode_step(self, token: Array, cache: dict[str, Array],
+                    pos: Array) -> tuple[Array, dict[str, Array]]:
+        x = self.embed(token)[:, None]
+        mem = self._memory(x.shape[0])
+        cache = dict(cache)
+        for i, layer in enumerate(self.layers):
+            x, ck, cv = layer.decode_step(
+                x, cache[f"pawa_k_{i}"], cache[f"pawa_v_{i}"], mem, pos)
+            cache[f"pawa_k_{i}"] = ck
+            cache[f"pawa_v_{i}"] = cv
+        return x * (self.d_model ** -0.5), cache
+
+
 class PawaAdaptor(nn.Module):
     """The adaptor stack plus the weight-delta linear ``U``.
 

@@ -119,6 +119,33 @@ def denoising_losses(model_apply_encoder, denoise_predict_head,
     return gen_loss, disc_loss
 
 
+def embedding_distillation_loss(encoder_hidden: Array, input_ids: Array,
+                                target_query_emb: Array) -> Array:
+    """MSE between the encoder state at the input's EOS position and a
+    precomputed query embedding (ref modeling_t5.py:1697-1703; the reference
+    wires this to fake random targets — SURVEY.md §6 defect 7 — this is the
+    intended objective)."""
+    is_eos = (input_ids == 1).astype(jnp.float32)          # [B, S]
+    first = jnp.argmax(is_eos, axis=1)                     # first EOS per row
+    end_emb = jnp.take_along_axis(
+        encoder_hidden, first[:, None, None], axis=1)[:, 0]
+    return jnp.mean((end_emb.astype(jnp.float32)
+                     - target_query_emb.astype(jnp.float32)) ** 2)
+
+
+def weight_distillation_loss(head_vectors: Array, target_emb: Array,
+                             mask: Array) -> Array:
+    """Masked MSE aligning per-position adaptive lm-head vectors with target
+    prefix embeddings (the intended objective of ref modeling_t5.py:1704-1717,
+    which as shipped consumes np.random fake data — SURVEY.md §6 defect 7).
+
+    head_vectors/target_emb: [B, L, d]; mask: [B, L]."""
+    diff = (head_vectors.astype(jnp.float32)
+            - target_emb.astype(jnp.float32)) ** 2
+    m = mask.astype(jnp.float32)[..., None]
+    return (diff * m).sum() / jnp.maximum(m.sum() * diff.shape[-1], 1.0)
+
+
 def cluster_infonce(query: Array, positive: Array, candidates: Array,
                     candidate_mask: Array, tau: float = 0.05,
                     intra_rate: float = 1.0, squash: str = "tanh") -> Array:

@@ -58,3 +58,38 @@ def test_denoising_model_path():
                                       method=model.denoise)
     assert np.isfinite(float(gen_loss)) and float(gen_loss) > 0
     assert np.isfinite(float(disc_loss)) and float(disc_loss) > 0
+
+
+def test_embedding_distillation_loss():
+    rng = np.random.default_rng(0)
+    b, s, d = 2, 6, 4
+    hidden = jnp.asarray(rng.normal(size=(b, s, d)), jnp.float32)
+    ids = jnp.asarray([[5, 7, 1, 0, 0, 0], [9, 1, 0, 0, 0, 0]], jnp.int32)
+    # targets = exactly the eos-position states → zero loss
+    target = jnp.stack([hidden[0, 2], hidden[1, 1]])
+    loss = losses.embedding_distillation_loss(hidden, ids, target)
+    assert float(loss) < 1e-12
+    loss2 = losses.embedding_distillation_loss(hidden, ids, target + 1.0)
+    np.testing.assert_allclose(float(loss2), 1.0, rtol=1e-6)
+
+
+def test_weight_distillation_loss():
+    rng = np.random.default_rng(0)
+    b, L, d = 2, 3, 4
+    h = jnp.asarray(rng.normal(size=(b, L, d)), jnp.float32)
+    mask = jnp.asarray([[1, 1, 0], [1, 0, 0]])
+    assert float(losses.weight_distillation_loss(h, h, mask)) == 0.0
+    l = losses.weight_distillation_loss(h, h + 2.0, mask)
+    np.testing.assert_allclose(float(l), 4.0, rtol=1e-6)
+
+
+def test_encoder_classifier():
+    from gdr_tpu.models.classifier import EncoderClassifier
+    mcfg = dataclasses.replace(CFG.model, dropout_rate=0.0)
+    model = EncoderClassifier(mcfg, num_cls=7)
+    ids = jnp.zeros((2, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, jnp.ones_like(ids))
+    logits = model.apply(params, ids, jnp.ones_like(ids))
+    assert logits.shape == (2, 7)
+    pred = model.apply(params, ids, jnp.ones_like(ids), method=model.predict)
+    assert pred.shape == (2,)

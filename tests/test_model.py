@@ -185,3 +185,30 @@ def test_beam_grouped_cross_attention(model_and_params):
                            method=model.decode_step)
     np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_n),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_full_pawa_variant():
+    """adaptor_efficient=False: the slow per-prefix [d,d] transform path."""
+    import dataclasses
+    mcfg = dataclasses.replace(CFG.model, adaptor_efficient=False,
+                               dropout_rate=0.0)
+    model = GenerativeRetriever(mcfg)
+    params = init_params(model, jax.random.PRNGKey(0))
+    assert "u2" in params["params"]["pawa"]
+    input_ids, attn, labels, label_mask = _dummy_batch()
+    dec_in = shift_right(labels)
+    out = model.apply(params, input_ids, attn, dec_in, label_mask)
+    assert np.isfinite(np.asarray(out["logits"][:, :, 1])).all()
+
+    # candidate decode agrees with the full-vocab step for this variant too
+    L, kary = CFG.model.max_output_length, CFG.model.kary
+    enc = model.apply(params, input_ids, attn, method=model.encode)
+    c1 = model.apply(params, enc, L, method=model.init_cache)
+    c2 = model.apply(params, enc, L, method=model.init_cache)
+    full, _ = model.apply(params, dec_in[:, 0], c1, attn, 0,
+                          method=model.decode_step)
+    cand, _ = model.apply(params, dec_in[:, 0], c2, attn, 0,
+                          method=model.decode_step_candidates)
+    np.testing.assert_allclose(np.asarray(cand)[:, :kary],
+                               np.asarray(full)[:, 2:2 + kary],
+                               rtol=2e-4, atol=2e-4)
