@@ -37,14 +37,25 @@ def _add_common_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--rdrop", type=float, default=0.1)
 
 
-def _model_config(args):
+def _model_config(args, store_dim=None):
+    import dataclasses
     from gdr_tpu.config import ModelConfig
     cfg = ModelConfig(kary=args.kary,
                       max_output_length=args.max_output_length,
                       adaptor_decode=not args.no_adaptor,
                       adaptor_layer_num=args.adaptor_layers,
                       rdrop=args.rdrop).scaled(args.model_size)
+    if store_dim is not None:
+        # the dense stage scores in the doc-embedding space of the index
+        cfg = dataclasses.replace(cfg, encoder_d_model=int(store_dim))
     return cfg
+
+
+def _doc_encoder(args):
+    from gdr_tpu.models.dual_encoder import DocEncoder, tiny_doc_encoder
+    if getattr(args, "encoder_size", "full") == "tiny":
+        return tiny_doc_encoder()
+    return DocEncoder()
 
 
 def _read_corpus_tsv(path: str) -> tuple[list[str], list[str]]:
@@ -86,11 +97,10 @@ def cmd_index(args) -> None:
     from gdr_tpu.models.dual_encoder import DocEncoder
 
     titles, texts = _read_corpus_tsv(args.corpus)
-    tok = load_tokenizer(args.doc_tokenizer)
+    tok = load_tokenizer(args.doc_tokenizer, vocab_size=2048)
     ids, mask = tok.encode_batch(texts, args.encoder_max_len)
-    enc = DocEncoder()
+    enc = _doc_encoder(args)
     params = enc.init(jax.random.PRNGKey(args.seed), ids[:2], mask[:2])
-    # TODO(weights): load a converted AR2/BERT checkpoint when provided
     if args.encoder_ckpt:
         params = _load_msgpack(args.encoder_ckpt, params)
     cfg = IndexConfig(kary=args.kary, leaf_cap=args.leaf_cap, seed=args.seed)
@@ -120,7 +130,7 @@ def cmd_train(args) -> None:
     from gdr_tpu.utils.logging import MetricLogger
 
     index = load_index(args.index)
-    mcfg = _model_config(args)
+    mcfg = _model_config(args, store_dim=index.store.shape[1])
     tcfg = TrainConfig(train_batch_size=args.batch_size,
                        num_train_epochs=args.epochs,
                        train_encoder_epoch=args.train_encoder_epoch,
@@ -158,14 +168,14 @@ def cmd_eval(args) -> None:
     from gdr_tpu.train.checkpoint import CheckpointManager
 
     index = load_index(args.index)
-    mcfg = _model_config(args)
+    mcfg = _model_config(args, store_dim=index.store.shape[1])
     model = GenerativeRetriever(mcfg)
     params = init_params(model, jax.random.PRNGKey(args.seed),
                          input_len=args.max_input_length)
     ckpt = CheckpointManager(f"{args.workdir}/ckpt")
-    step, restored = ckpt.restore_best({"generator": params})
+    step, raw = ckpt.restore_raw()
     if step is not None:
-        params = restored["generator"]
+        params = raw["params"]["generator"]
         print(f"restored checkpoint step {step}")
 
     tok = load_tokenizer(args.tokenizer, vocab_size=mcfg.vocab_size)
@@ -189,9 +199,9 @@ def cmd_expand(args) -> None:
 
     index = load_index(args.index)
     titles, texts = _read_corpus_tsv(args.corpus)
-    tok = load_tokenizer(args.doc_tokenizer)
+    tok = load_tokenizer(args.doc_tokenizer, vocab_size=2048)
     ids, mask = tok.encode_batch(texts, args.encoder_max_len)
-    enc = DocEncoder()
+    enc = _doc_encoder(args)
     params = enc.init(jax.random.PRNGKey(args.seed), ids[:2], mask[:2])
     if args.encoder_ckpt:
         params = _load_msgpack(args.encoder_ckpt, params)
@@ -224,6 +234,7 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("--encoder-max-len", type=int, default=128)
     pi.add_argument("--batch-size", type=int, default=256)
     pi.add_argument("--doc-tokenizer", default=None)
+    pi.add_argument("--encoder-size", default="full", choices=["full", "tiny"])
     pi.add_argument("--encoder-ckpt", default=None)
     pi.add_argument("--seed", type=int, default=7)
     pi.set_defaults(fn=cmd_index)
@@ -263,6 +274,7 @@ def build_parser() -> argparse.ArgumentParser:
     px.add_argument("--out", required=True)
     px.add_argument("--encoder-max-len", type=int, default=128)
     px.add_argument("--doc-tokenizer", default=None)
+    px.add_argument("--encoder-size", default="full", choices=["full", "tiny"])
     px.add_argument("--encoder-ckpt", default=None)
     px.add_argument("--seed", type=int, default=7)
     px.set_defaults(fn=cmd_expand)

@@ -60,5 +60,15 @@ class CheckpointManager:
         return step, self.mgr.restore(
             step, args=ocp.args.StandardRestore(template))
 
+    def restore_raw(self, step: Optional[int] = None):
+        """Restore without a template (raw pytree of plain arrays) — for
+        consumers that only need a subtree (e.g. eval wants just the
+        generator params out of a full TrainState)."""
+        if step is None:
+            step = self.mgr.best_step() or self.mgr.latest_step()
+        if step is None:
+            return None, None
+        return step, self.mgr.restore(step)
+
     def close(self) -> None:
         self.mgr.close()

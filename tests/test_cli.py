@@ -1,0 +1,84 @@
+"""CLI end-to-end smoke: index → train → eval → expand → calculate,
+all through files (the reference's train.sh/infer.sh workflow)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from gdr_tpu import cli
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cliworld")
+    rng = np.random.default_rng(0)
+    topics = ["alpha beta gamma", "delta epsilon zeta", "eta theta iota"]
+    n_docs = 18
+    docs, queries = [], []
+    for i in range(n_docs):
+        topic = topics[i % 3]
+        words = (topic + " ") * 4 + f"document number {i}"
+        docs.append((f"Doc{i}", words))
+        queries.append((f"find {topic} item {i}", str(i)))
+    with open(tmp / "docs.tsv", "w") as fh:
+        for t, x in docs:
+            fh.write(f"{t}\t{x}\n")
+    with open(tmp / "train.tsv", "w") as fh:
+        for q, d in queries:
+            fh.write(f"{q}\t{d}\n")
+    with open(tmp / "dev.tsv", "w") as fh:
+        for q, d in queries[:6]:
+            fh.write(f"{q}\t{d}\n")
+    return tmp
+
+
+def test_cli_index_train_eval_expand(world, capsys):
+    tmp = world
+    cli.main(["index", "--corpus", str(tmp / "docs.tsv"),
+              "--out", str(tmp / "index.npz"), "--kary", "3",
+              "--leaf-cap", "6", "--encoder-max-len", "16",
+              "--encoder-size", "tiny", "--batch-size", "8"])
+    out = capsys.readouterr().out
+    assert "18 docs" in out
+    assert os.path.exists(tmp / "index.npz")
+
+    cli.main(["train", "--index", str(tmp / "index.npz"),
+              "--train", str(tmp / "train.tsv"), "--dev", str(tmp / "dev.tsv"),
+              "--workdir", str(tmp / "run"), "--model-size", "tiny",
+              "--kary", "3", "--max-output-length", "5",
+              "--max-input-length", "12", "--batch-size", "6",
+              "--epochs", "1", "--beam", "4", "--adaptor-layers", "1"])
+    assert os.path.exists(tmp / "run" / "ckpt")
+
+    cli.main(["eval", "--index", str(tmp / "index.npz"),
+              "--dev", str(tmp / "dev.tsv"), "--workdir", str(tmp / "run"),
+              "--model-size", "tiny", "--kary", "3",
+              "--max-output-length", "5", "--max-input-length", "12",
+              "--beam", "4", "--eval-batch-size", "6",
+              "--adaptor-layers", "1"])
+    out = capsys.readouterr().out
+    metrics = json.loads(out[out.index("{"):])
+    assert "recall1" in metrics and "cluster_recall1" in metrics
+
+    with open(tmp / "new_docs.tsv", "w") as fh:
+        fh.write("NewDoc\talpha beta gamma totally new document\n")
+    cli.main(["expand", "--index", str(tmp / "index.npz"),
+              "--corpus", str(tmp / "new_docs.tsv"),
+              "--out", str(tmp / "index2.npz"), "--encoder-max-len", "16",
+              "--encoder-size", "tiny"])
+    out = capsys.readouterr().out
+    assert "18 → 19" in out or "18 → 19" in out
+
+
+def test_cli_calculate(world, capsys, tmp_path):
+    path = tmp_path / "res.tsv"
+    with open(path, "w") as fh:
+        fh.write("q1\t3,5,7\t3\t1\n")
+        fh.write("q2\t9,4\t8\t1\n")
+    cli.main(["calculate", "--result", str(path)])
+    out = capsys.readouterr().out
+    metrics = json.loads(out[out.index("{"):])
+    assert metrics["recall1"] == 0.5
+    assert metrics["MRR100"] == 0.5
