@@ -21,9 +21,7 @@ from __future__ import annotations
 
 import argparse
 import csv
-import dataclasses
 import json
-import sys
 
 
 def _add_common_model_flags(p: argparse.ArgumentParser) -> None:
@@ -94,7 +92,6 @@ def cmd_index(args) -> None:
     from gdr_tpu.data.tokenize import load_tokenizer
     from gdr_tpu.index.builder import build_index
     from gdr_tpu.index.io import save_index
-    from gdr_tpu.models.dual_encoder import DocEncoder
 
     titles, texts = _read_corpus_tsv(args.corpus)
     tok = load_tokenizer(args.doc_tokenizer, vocab_size=2048)
@@ -116,18 +113,11 @@ def cmd_train(args) -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from gdr_tpu.config import (DataConfig, EvalConfig, GDRConfig, MeshConfig,
-                                TrainConfig)
-    from gdr_tpu.data.dataset import (BatchIterator, build_eval_data,
-                                      build_train_set, cluster_docs_lookup)
+    from gdr_tpu.config import EvalConfig, GDRConfig, TrainConfig
+    from gdr_tpu.data.dataset import build_eval_data, build_train_set
     from gdr_tpu.data.tokenize import load_tokenizer
-    from gdr_tpu.eval.evaluator import Evaluator
     from gdr_tpu.index.io import load_index
-    from gdr_tpu.models.dual_encoder import DocEncoder
-    from gdr_tpu.models.gdr import GenerativeRetriever
-    from gdr_tpu.train.checkpoint import CheckpointManager
     from gdr_tpu.train.loop import TrainLoop
-    from gdr_tpu.utils.logging import MetricLogger
 
     index = load_index(args.index)
     mcfg = _model_config(args, store_dim=index.store.shape[1])
@@ -195,7 +185,6 @@ def cmd_expand(args) -> None:
     from gdr_tpu.data.tokenize import load_tokenizer
     from gdr_tpu.index.expand import expand_with_encoder
     from gdr_tpu.index.io import load_index, save_index
-    from gdr_tpu.models.dual_encoder import DocEncoder
 
     index = load_index(args.index)
     titles, texts = _read_corpus_tsv(args.corpus)

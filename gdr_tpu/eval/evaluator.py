@@ -77,11 +77,19 @@ class Evaluator:
                               self._cluster_doc_mask, self._alphas)
 
     def evaluate(self, params, data: EvalData, batch_size: int = 8,
-                 kary: int | None = None) -> dict[str, float]:
+                 kary: int | None = None,
+                 result_tsv: str | None = None) -> dict[str, float]:
+        """Full-set evaluation.  ``result_tsv``: also write a
+        reference-compatible result file (query, preds, gts, rank — the
+        ``res1`` TSV consumed by the offline ``calculate`` mode,
+        ref main.py:244-247)."""
+        from gdr_tpu.utils.timing import PhaseTimer
+
         kary = kary or self.trie.kary
         nq = len(data.input_ids)
         cluster_preds: dict[int, list[str]] = {}
         doc_preds: dict[int, dict[float, list[str]]] = {}
+        timer = PhaseTimer()
 
         for start in range(0, nq, batch_size):
             end = min(start + batch_size, nq)
@@ -92,20 +100,29 @@ class Evaluator:
             msk = np.concatenate(
                 [data.attn_mask[start:end]] +
                 ([data.attn_mask[start:start + 1]] * pad if pad else []))
-            res, rr = self.retrieve(params, ids, msk)
-            seqs = np.asarray(res.sequences)
-            valid = np.asarray(res.valid)
-            doc_ids = np.asarray(rr.doc_ids)
-            doc_valid = np.asarray(rr.doc_valid)
-            for b in range(end - start):
-                q = start + b
-                cids = decode_token_batch(seqs[b], kary)
-                cluster_preds[q] = [c for c, v in zip(cids, valid[b]) if v]
-                doc_preds[q] = {}
-                for a, alpha in enumerate(self.cfg.score_rates):
-                    doc_preds[q][alpha] = [
-                        str(int(d)) for d, v in zip(doc_ids[a, b],
-                                                    doc_valid[a, b]) if v]
+            with timer.phase("retrieve"):
+                res, rr = self.retrieve(params, ids, msk)
+                seqs = np.asarray(res.sequences)
+                valid = np.asarray(res.valid)
+                doc_ids = np.asarray(rr.doc_ids)
+                doc_valid = np.asarray(rr.doc_valid)
+            with timer.phase("decode_host"):
+                for b in range(end - start):
+                    q = start + b
+                    cids = decode_token_batch(seqs[b], kary)
+                    cluster_preds[q] = [c for c, v in zip(cids, valid[b]) if v]
+                    doc_preds[q] = {}
+                    for a, alpha in enumerate(self.cfg.score_rates):
+                        doc_preds[q][alpha] = [
+                            str(int(d)) for d, v in zip(doc_ids[a, b],
+                                                        doc_valid[a, b]) if v]
+
+        if result_tsv is not None:
+            from gdr_tpu.eval.offline import write_result_tsv
+            alpha0 = self.cfg.score_rates[0]
+            rows = [(str(q), doc_preds[q][alpha0], data.gt_docs[q], 1)
+                    for q in sorted(doc_preds)]
+            write_result_tsv(result_tsv, rows)
 
         out: dict[str, float] = {}
         gt_cids = {q: data.gt_cids[q] for q in cluster_preds}
@@ -126,4 +143,5 @@ class Evaluator:
             if alpha == 0:
                 # checkpoint monitor (ref main.py:73-82, main_models.py:1838)
                 out["recall1"] = suite["recall1"]
+        out.update(timer.summary())
         return out

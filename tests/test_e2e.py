@@ -87,3 +87,22 @@ def test_e2e_expansion_without_retraining(trained):
     docs = [int(d) for d, v in zip(np.asarray(rr.doc_ids)[0, 0],
                                    np.asarray(rr.doc_valid)[0, 0]) if v]
     assert n0 in docs or 0 in docs
+
+
+def test_evaluate_writes_result_tsv(trained, tmp_path):
+    import dataclasses as dc
+    from gdr_tpu.eval.offline import calculate
+
+    task, model, state, _ = trained
+    ev_cfg = dc.replace(CFG.eval, num_beams=4, num_return_sequences=4,
+                        score_rates=(0.0,))
+    evaluator = Evaluator(model, task.trie, task.store, ev_cfg)
+    data = EvalData(input_ids=task.input_ids, attn_mask=task.attn_mask,
+                    gt_docs=task.gt_docs, gt_cids=task.gt_cids)
+    path = str(tmp_path / "res1.tsv")
+    out = evaluator.evaluate(state.params["generator"], data, batch_size=8,
+                             result_tsv=path)
+    offline = calculate(path)
+    # the offline calculate over the written TSV agrees with the online suite
+    assert abs(offline["recall1"] - out["recall1"]) < 1e-9
+    assert "retrieve_mean_ms" in out          # phase timing present
