@@ -81,7 +81,7 @@ def main() -> None:
         n_docs, beams, seq_len, iters, qbatch = 2_000, 10, 16, 4, 4
     else:
         cfg = ModelConfig().scaled("base")          # t5-base, kary 30, L 10
-        n_docs, beams, seq_len, iters, qbatch = 334_314, 100, 40, 8, 16
+        n_docs, beams, seq_len, iters, qbatch = 334_314, 100, 40, 8, 32
 
     rng = np.random.default_rng(0)
     log("building trie ...")

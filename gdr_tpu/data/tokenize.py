@@ -71,7 +71,9 @@ class HFTokenizer:
 
     def __init__(self, name_or_path: str):
         from transformers import AutoTokenizer
-        self.tok = AutoTokenizer.from_pretrained(name_or_path)
+        # local_files_only: never block on network (airgapped TPU pods)
+        self.tok = AutoTokenizer.from_pretrained(name_or_path,
+                                                 local_files_only=True)
         self.vocab_size = self.tok.vocab_size
 
     def encode(self, text: str, max_length: int):
