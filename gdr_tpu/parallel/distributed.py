@@ -37,7 +37,14 @@ def initialize(coordinator_address: Optional[str] = None,
         kwargs["num_processes"] = num_processes
     if process_id is not None:
         kwargs["process_id"] = process_id
-    jax.distributed.initialize(**kwargs)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:
+        # backends already initialised (single-process dev/tunnel session) or
+        # double-call — treat as single-process
+        if explicit:
+            raise
+        return False
     return True
 
 
