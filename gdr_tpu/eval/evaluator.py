@@ -39,11 +39,26 @@ class EvalData:
 
 
 class Evaluator:
-    def __init__(self, model, trie: TrieTensors, store, cfg: EvalConfig):
+    """Retrieval evaluator.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — the doc-embedding store is
+    then sharded row-wise over every mesh axis and the re-rank runs as the
+    distributed local-top-R + all_gather merge (parallel/store.py); model
+    params and queries are replicated.  Without a mesh everything runs
+    single-device.
+    """
+
+    def __init__(self, model, trie: TrieTensors, store, cfg: EvalConfig,
+                 mesh=None):
         self.model = model
         self.trie = trie
         self.cfg = cfg
-        self.store = jnp.asarray(store)
+        self.mesh = mesh
+        if mesh is not None:
+            from gdr_tpu.parallel.store import place_store
+            self.store = place_store(np.asarray(store), mesh)
+        else:
+            self.store = jnp.asarray(store)
         self._children = jnp.asarray(trie.children)
         self._eos = jnp.asarray(trie.eos_allowed)
         self._cluster_of_node = jnp.asarray(trie.cluster_of_node)
@@ -62,10 +77,17 @@ class Evaluator:
             self.model, params, input_ids, attn_mask, children,
             eos, cfg.num_beams, cfg.max_output_length,
             cfg.length_penalty)
-        rr = rerank(store, q_emb, res.nodes, res.scores, res.valid,
-                    cluster_of_node, cluster_docs,
-                    cluster_doc_mask, alphas,
-                    top_r=cfg.num_return_sequences)
+        if self.mesh is not None:
+            from gdr_tpu.parallel.store import sharded_rerank_from_beams
+            rr = sharded_rerank_from_beams(
+                self.mesh, store, q_emb, res.nodes, res.scores, res.valid,
+                cluster_of_node, cluster_docs, cluster_doc_mask, alphas,
+                top_r=cfg.num_return_sequences)
+        else:
+            rr = rerank(store, q_emb, res.nodes, res.scores, res.valid,
+                        cluster_of_node, cluster_docs,
+                        cluster_doc_mask, alphas,
+                        top_r=cfg.num_return_sequences)
         return res, rr
 
     def retrieve(self, params, input_ids, attn_mask):

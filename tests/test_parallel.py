@@ -97,3 +97,37 @@ def test_dp_train_step_on_mesh():
     # params keep their TP sharding after the update
     u = state.params["generator"]["params"]["pawa"]["u"]
     assert not u.sharding.is_fully_replicated
+
+
+def test_mesh_evaluator_matches_single_device():
+    """Evaluator(mesh=...) — full retrieval with the store sharded over 8
+    devices must reproduce the single-device retrieval."""
+    import dataclasses
+    import jax.numpy as jnp
+    from gdr_tpu.config import tiny_config
+    from gdr_tpu.data.synthetic import build_synthetic_task
+    from gdr_tpu.eval.evaluator import Evaluator
+    from gdr_tpu.models.gdr import GenerativeRetriever, init_params
+
+    CFG = tiny_config(kary=3, max_output_length=5)
+    task = build_synthetic_task(n_docs=16, dim=16, kary=3, leaf_cap=4,
+                                seq_len=8, vocab_size=CFG.model.vocab_size,
+                                max_output_length=5, seed=0)
+    model = GenerativeRetriever(dataclasses.replace(CFG.model,
+                                                    dropout_rate=0.0))
+    params = init_params(model, jax.random.PRNGKey(0))
+    ev_cfg = dataclasses.replace(CFG.eval, num_beams=4,
+                                 num_return_sequences=4,
+                                 score_rates=(0.0, 1.0))
+    single = Evaluator(model, task.trie, task.store, ev_cfg)
+    mesh = make_mesh(MeshConfig(dp=4, mp=2))
+    multi = Evaluator(model, task.trie, task.store, ev_cfg, mesh=mesh)
+
+    r1, rr1 = single.retrieve(params, task.input_ids[:2], task.attn_mask[:2])
+    r2, rr2 = multi.retrieve(params, task.input_ids[:2], task.attn_mask[:2])
+    np.testing.assert_array_equal(np.asarray(r1.sequences),
+                                  np.asarray(r2.sequences))
+    np.testing.assert_array_equal(np.asarray(rr1.doc_ids),
+                                  np.asarray(rr2.doc_ids))
+    np.testing.assert_allclose(np.asarray(rr1.scores),
+                               np.asarray(rr2.scores), rtol=1e-4, atol=1e-4)
