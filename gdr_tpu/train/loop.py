@@ -82,6 +82,14 @@ class TrainLoop:
                 self.model, self.doc_encoder, self.opt, self.cfg, stage=stage)
         return self._step_fns[stage]
 
+    def _refresh_store(self) -> None:
+        from gdr_tpu.index.builder import embed_corpus
+        emb = embed_corpus(self.doc_encoder, self.state.params["doc_encoder"],
+                           self.doc_tokens, self.doc_tok_mask,
+                           batch_size=min(256, len(self.doc_tokens)))
+        self.store = jnp.asarray(emb)
+        self.evaluator.store = self.store
+
     def _augment_stage2(self, batch: dict) -> dict:
         idx = batch["cand_idx"]
         batch = dict(batch)
@@ -136,6 +144,13 @@ class TrainLoop:
                        "avg_train_loss": float(np.mean(losses)) if losses else 0.0,
                        "epoch_seconds": time.perf_counter() - t0}
             if (epoch + 1) % self.eval_every == 0:
+                if stage2:
+                    # stage 2 trains the doc tower live: refresh the store so
+                    # the dense re-rank scores against current embeddings
+                    # (the reference re-encodes candidates per eval batch,
+                    # main_models.py:1455-1462; one refreshed store per eval
+                    # is the batched equivalent)
+                    self._refresh_store()
                 eval_metrics = self.evaluator.evaluate(
                     self.state.params["generator"], self.dev,
                     batch_size=max(cfg.eval_batch_size, 1))

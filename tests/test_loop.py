@@ -60,3 +60,27 @@ def test_preemption_guard_stops_loop(tmp_path):
         best = loop._run(guard, max_epochs=5)
     # stopped after the first step of epoch 0 → checkpoint written
     assert (tmp_path / "p" / "ckpt").exists()
+
+
+def test_two_stage_loop_with_live_encoder(tmp_path):
+    """Stage switch: cached-store epochs then live doc-tower epochs with a
+    refreshed store before stage-2 eval (ref main_models.py:1910-1917)."""
+    import numpy as np
+    from gdr_tpu.models.dual_encoder import tiny_doc_encoder
+
+    cfg, index, ts, dev = _world()
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, train_encoder_epoch=0, num_train_epochs=2,
+        stage2_train_batch_size=4))
+    rng = np.random.default_rng(0)
+    doc_tokens = rng.integers(1, 500, size=(len(index.store), 12)).astype(np.int32)
+    doc_mask = np.ones_like(doc_tokens)
+    enc = tiny_doc_encoder(d_model=index.store.shape[1])
+    loop = TrainLoop(cfg, index, ts, dev, workdir=str(tmp_path / "s2"),
+                     seed=0, doc_tokens=doc_tokens, doc_tok_mask=doc_mask,
+                     doc_encoder=enc)
+    old_store = np.asarray(loop.store).copy()
+    best = loop.run(max_epochs=2)
+    assert "recall1" in best
+    # epoch 1 ran stage 2 → store refreshed from the live tower
+    assert not np.allclose(np.asarray(loop.store), old_store)
