@@ -62,6 +62,12 @@ class ModelConfig:
 
     # --- dual encoder (stage 2 doc tower) ------------------------------------
     encoder_d_model: int = 768
+    # dense-stage query representation (ref --use_query_embed_encoder /
+    # _decoder_avg / _decoder_special, main.py:376-381):
+    # "encoder" = encoder first-position state (reference default),
+    # "decoder_avg" = masked mean of decoder states,
+    # "decoder_special" = decoder state at the EOS position
+    query_source: str = "encoder"
 
     # --- memory --------------------------------------------------------------
     remat: bool = False              # rematerialize transformer blocks in the

@@ -69,14 +69,46 @@ class Evaluator:
         # arrays would be baked into the HLO as literals (slow compiles)
         self._retrieve = jax.jit(self._retrieve_impl)
 
+    def _per_beam_decoder_query(self, params, res, enc, attn_mask):
+        """Decoder-side query reps: re-run the generated sequences through
+        the decoder and pool per beam (ref main_models.py:1464-1571,
+        use_query_embed_decoder_avg / _special).  Returns [B, K, d']."""
+        cfg = self.cfg
+        b, k, lp1 = res.sequences.shape
+        L = lp1 - 1
+        dec_in = res.sequences[..., :L].reshape(b * k, L)
+        dmask = (dec_in != 0).astype(jnp.int32).at[:, 0].set(1)
+        enc_rep = jnp.repeat(enc, k, axis=0)
+        mask_rep = jnp.repeat(attn_mask, k, axis=0)
+        hidden = self.model.apply(params, enc_rep, mask_rep, dec_in, dmask,
+                                  method=self.model.decode_hidden)
+        if cfg.use_query_embed_decoder_special:
+            last = jnp.maximum(dmask.sum(axis=1) - 1, 0)
+            q = jnp.take_along_axis(hidden, last[:, None, None], axis=1)[:, 0]
+        else:  # decoder_avg
+            m = dmask.astype(jnp.float32)[..., None]
+            q = (hidden * m).sum(1) / jnp.maximum(m.sum(1), 1.0)
+        q = self.model.apply(params, q, method=self.model.project_query)
+        return q.reshape(b, k, -1)
+
     def _retrieve_impl(self, params, input_ids, attn_mask, store, children,
                        eos, cluster_of_node, cluster_docs, cluster_doc_mask,
                        alphas):
         cfg = self.cfg
-        res, q_emb = generate_cids(
+        res, q_emb, enc = generate_cids(
             self.model, params, input_ids, attn_mask, children,
             eos, cfg.num_beams, cfg.max_output_length,
             cfg.length_penalty)
+        if (cfg.use_query_embed_decoder_avg
+                or cfg.use_query_embed_decoder_special):
+            q_dec = self._per_beam_decoder_query(params, res, enc, attn_mask)
+            if cfg.use_query_embed_encoder:
+                # fusion_strategy "average" (ref main_models.py:1559-1563);
+                # "concate" needs the reference's fusion layer, which it
+                # comments out of its own model (main_models.py:797)
+                q_emb = (q_dec + q_emb[:, None, :]) / 2.0
+            else:
+                q_emb = q_dec
         if self.mesh is not None:
             from gdr_tpu.parallel.store import sharded_rerank_from_beams
             rr = sharded_rerank_from_beams(

@@ -106,10 +106,43 @@ class GenerativeRetriever(nn.Module):
         """Dense-stage query rep: first-position encoder state
         (ref main_models.py:102-109, use_query_embed_encoder path),
         projected if the doc-embedding space has a different width."""
-        q = enc[:, 0]
+        return self.project_query(enc[:, 0])
+
+    def project_query(self, q: Array) -> Array:
         if self.cfg.encoder_d_model != self.cfg.d_model:
             q = self.query_proj(q)
         return q
+
+    def pool_query(self, enc: Array, decoder_hidden: Array,
+                   decoder_attn_mask: Array) -> Array:
+        """Dense-stage query rep per ``cfg.query_source``
+        (ref main_models.py:998-1056): encoder CLS, masked decoder mean, or
+        the decoder state at the EOS position."""
+        src = self.cfg.query_source
+        if src == "encoder":
+            q = enc[:, 0]
+        elif src == "decoder_avg":
+            m = decoder_attn_mask.astype(jnp.float32)[..., None]
+            q = (decoder_hidden * m).sum(1) / jnp.maximum(m.sum(1), 1.0)
+        elif src == "decoder_special":
+            # last unmasked position = the EOS slot
+            last = jnp.maximum(
+                decoder_attn_mask.astype(jnp.int32).sum(axis=1) - 1, 0)
+            q = jnp.take_along_axis(decoder_hidden,
+                                    last[:, None, None], axis=1)[:, 0]
+        else:
+            raise ValueError(f"unknown query_source {src}")
+        return self.project_query(q)
+
+    def decode_hidden(self, enc: Array, enc_mask: Array,
+                      decoder_input_ids: Array,
+                      decoder_attn_mask: Array) -> Array:
+        """Decoder hidden states only (no lm-head/PAWA) — used by the eval
+        path that re-runs generated sequences to pool decoder-side query
+        representations (ref main_models.py:1464-1571)."""
+        x = self.decode_embed(decoder_input_ids)
+        return self.decoder(x, enc, decoder_attn_mask, enc_mask,
+                            deterministic=True)
 
     def decode_logits(self, enc: Array, enc_mask: Array,
                       decoder_input_ids: Array, decoder_attn_mask: Array,
@@ -146,7 +179,8 @@ class GenerativeRetriever(nn.Module):
             "logits": logits,
             "decoder_hidden": dec_hidden,
             "encoder_hidden": enc,
-            "query_embedding": self.query_embedding(enc),
+            "query_embedding": self.pool_query(enc, dec_hidden,
+                                               decoder_attn_mask),
         }
 
     def init_all(self, input_ids: Array, attn_mask: Array,

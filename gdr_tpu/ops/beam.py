@@ -203,7 +203,7 @@ def beam_search(step_fn: StepFn, cache: dict, batch: int, num_beams: int,
 def generate_cids(model, params, input_ids: Array, attn_mask: Array,
                   children: Array, eos_allowed: Array, num_beams: int,
                   max_len: int, length_penalty: float = 1.0
-                  ) -> tuple[BeamResult, Array]:
+                  ) -> tuple[BeamResult, Array, Array]:
     """Encode queries once, expand beam-major, and run the constrained search.
 
     Mirrors the reference's ``model.generate(..., decode_tree=root,
@@ -211,7 +211,7 @@ def generate_cids(model, params, input_ids: Array, attn_mask: Array,
     output_encoder_embedding=True)`` call (main_models.py:1380-1397) but
     returns the dense-stage query embedding instead of raw encoder states.
 
-    Returns (BeamResult, query_embedding [B, d]).
+    Returns (BeamResult, query_embedding [B, d], encoder states [B, S, d]).
     """
     batch = input_ids.shape[0]
     enc = model.apply(params, input_ids, attn_mask, method=model.encode)
@@ -229,4 +229,4 @@ def generate_cids(model, params, input_ids: Array, attn_mask: Array,
     result = beam_search(step_fn, cache, batch, num_beams,
                          model.cfg.kary, max_len, children, eos_allowed,
                          length_penalty, candidates_mode=True)
-    return result, query_emb
+    return result, query_emb, enc

@@ -56,7 +56,8 @@ def rerank(doc_store: Array, query_emb: Array, nodes: Array,
     """Fused dense re-rank + α-sweep.
 
     doc_store: [N, d] document embeddings (precomputed stage 1, or live
-    dual-encoder output in stage 2).  query_emb: [B, d].  nodes/beam_scores/
+    dual-encoder output in stage 2).  query_emb: [B, d], or [B, K, d] for
+    per-beam query reps (the decoder-avg/special paths).  nodes/beam_scores/
     valid: [B, K] from the beam search (scores length-normalised).
 
     ``use_pallas``: stream candidate rows through the fused Pallas kernel
@@ -72,23 +73,28 @@ def rerank(doc_store: Array, query_emb: Array, nodes: Array,
     probs = jax.nn.softmax(
         jnp.where(valid, beam_scores, NEG_INF).astype(jnp.float32), axis=-1)
 
+    # per-beam query reps ([B, K, d]) or one rep per query ([B, d])
+    if query_emb.ndim == 2:
+        q_bk = jnp.broadcast_to(query_emb[:, None, :],
+                                (b, k, query_emb.shape[-1]))
+    else:
+        q_bk = query_emb
+
     from gdr_tpu.ops.quantize import QuantizedStore, quantized_dot
     if isinstance(doc_store, QuantizedStore):
         # int8 store: dequantising dot (memory-pressure configuration)
-        q = jnp.broadcast_to(query_emb[:, None, :],
-                             (b, k, query_emb.shape[-1]))
-        sim = fn(quantized_dot(q, doc_store, docs))
+        sim = fn(quantized_dot(q_bk, doc_store, docs))
         sim = jnp.where(mask, sim, NEG_INF)
     elif use_pallas and squash == "tanh":
         from gdr_tpu.ops.pallas.rerank_kernel import rerank_scores_pallas
-        qrows = jnp.repeat(query_emb, k, axis=0)           # [B*K, d]
+        qrows = q_bk.reshape(b * k, -1)
         sim = rerank_scores_pallas(doc_store, docs.reshape(b * k, cap),
                                    qrows, mask.reshape(b * k, cap),
                                    interpret=pallas_interpret)
         sim = sim.reshape(b, k, cap)
     else:
         cand_emb = doc_store[docs.reshape(b, -1)].reshape(b, k, cap, -1)
-        sim = fn(jnp.einsum("bd,bkcd->bkc", query_emb.astype(jnp.float32),
+        sim = fn(jnp.einsum("bkd,bkcd->bkc", q_bk.astype(jnp.float32),
                             cand_emb.astype(jnp.float32)))
         sim = jnp.where(mask, sim, NEG_INF)
 

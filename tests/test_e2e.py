@@ -106,3 +106,25 @@ def test_evaluate_writes_result_tsv(trained, tmp_path):
     # the offline calculate over the written TSV agrees with the online suite
     assert abs(offline["recall1"] - out["recall1"]) < 1e-9
     assert "retrieve_mean_ms" in out          # phase timing present
+
+
+def test_decoder_query_rep_paths(trained):
+    """use_query_embed_decoder_avg / _special: per-beam decoder query reps
+    (ref main_models.py:1464-1571)."""
+    import dataclasses as dc
+
+    task, model, state, _ = trained
+    data_ids, data_mask = task.input_ids[:2], task.attn_mask[:2]
+    for avg, special, use_enc in [(True, False, False), (False, True, False),
+                                  (True, False, True)]:
+        ev_cfg = dc.replace(CFG.eval, num_beams=4, num_return_sequences=4,
+                            score_rates=(0.0,),
+                            use_query_embed_encoder=use_enc,
+                            use_query_embed_decoder_avg=avg,
+                            use_query_embed_decoder_special=special)
+        evaluator = Evaluator(model, task.trie, task.store, ev_cfg)
+        res, rr = evaluator.retrieve(state.params["generator"],
+                                     data_ids, data_mask)
+        assert np.asarray(rr.doc_valid).any(), (avg, special, use_enc)
+        assert np.isfinite(np.asarray(rr.scores)[
+            np.asarray(rr.doc_valid)]).all()
