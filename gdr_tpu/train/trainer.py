@@ -67,9 +67,13 @@ def make_train_step(model: GenerativeRetriever, doc_encoder,
         rng_drop, rng_gate, rng_mask, rng_den, rng_den2 = jax.random.split(rng, 5)
         b = batch["input_ids"].shape[0]
 
-        # ---- R-Drop: duplicate the batch (ref main_models.py:925-944) ------
-        input_ids = jnp.concatenate([batch["input_ids"]] * 2, axis=0)
-        attn = jnp.concatenate([batch["attn_mask"]] * 2, axis=0)
+        # ---- R-Drop: duplicate the batch (ref main_models.py:925-944);
+        # when augmented queries are provided they form the second half
+        # (ref :927-930, --aug_query)
+        second_ids = batch.get("aug_input_ids", batch["input_ids"])
+        second_mask = batch.get("aug_attn_mask", batch["attn_mask"])
+        input_ids = jnp.concatenate([batch["input_ids"], second_ids], axis=0)
+        attn = jnp.concatenate([batch["attn_mask"], second_mask], axis=0)
         labels = jnp.concatenate([batch["labels"]] * 2, axis=0)
         label_mask = jnp.concatenate([batch["label_mask"]] * 2, axis=0)
 

@@ -82,3 +82,20 @@ def test_stage2_step_runs(task):
                        jax.random.PRNGKey(2))
     assert np.isfinite(float(m["loss"]))
     assert float(m["contrast_loss"]) != 0.0
+
+
+def test_rdrop_aug_query_half(task):
+    """aug queries form the R-Drop second half when provided
+    (ref main_models.py:927-930)."""
+    model = GenerativeRetriever(dataclasses.replace(CFG.model, dropout_rate=0.0))
+    state, opt = init_train_state(CFG, model, None, jax.random.PRNGKey(0),
+                                  total_steps=100, input_len=8)
+    step_fn = make_train_step(model, None, opt, CFG, stage=1)
+    rng_np = np.random.default_rng(3)
+    batch = {k: jnp.asarray(v) for k, v in batch_slice(task, np.arange(4)).items()}
+    batch["aug_input_ids"] = jnp.asarray(
+        rng_np.integers(2, CFG.model.vocab_size, size=(4, 8)), jnp.int32)
+    batch["aug_attn_mask"] = jnp.ones((4, 8), jnp.int32)
+    state, m = step_fn(state, batch, jnp.asarray(task.store),
+                       jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
