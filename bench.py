@@ -163,4 +163,8 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # transient tunnel failures (FailedPrecondition)
+        log(f"bench attempt failed ({type(e).__name__}: {e}); retrying once")
+        main()

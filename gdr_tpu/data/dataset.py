@@ -163,6 +163,32 @@ def build_eval_data(queries: Sequence[str],
                     gt_docs=gt_docs, gt_cids=gt_cids)
 
 
+def build_doc_query_sets(doc_texts: Sequence[str],
+                         doc_paths: Sequence[Sequence[int]], tokenizer,
+                         mcfg: ModelConfig, dcfg: DataConfig,
+                         rng=None) -> dict[str, TrainSet]:
+    """Document-side pseudo-query sources for ``query_type`` mixing:
+
+    - ``doc``: the first ``doc_length`` words of each document as its query
+      (ref main.py:412-415 doc-length override);
+    - ``aug``: random fixed-length spans, count scaled by document length
+      (ref NQ_process.py:147-165 / generate_training_data.py:279-296).
+    """
+    import numpy as np
+
+    from gdr_tpu.data.corpus import doc_aug_spans, first_k_words
+
+    rng = rng or np.random.default_rng(0)
+    doc_q = first_k_words(list(doc_texts), dcfg.doc_length)
+    doc_set = build_train_set(doc_q, list(range(len(doc_texts))), doc_paths,
+                              tokenizer, mcfg, dcfg.max_input_length,
+                              source="doc")
+    spans, src = doc_aug_spans(list(doc_texts), aug_len=16, rng=rng)
+    aug_set = build_train_set(spans, src, doc_paths, tokenizer, mcfg,
+                              dcfg.max_input_length, source="aug")
+    return {"doc": doc_set, "aug": aug_set}
+
+
 def cluster_docs_lookup(cid_of_doc: Sequence[str]) -> list[list[int]]:
     """doc → list of docs sharing its cluster (the sampling pool,
     ref main_models.py:597-604 via ``id_mapping``)."""

@@ -95,12 +95,12 @@ class FullPawaAdaptor(nn.Module):
     decode_vocab_size: int
     num_layers: int = 4
     num_heads: int = 8
-    d_ff: int = 0
+    d_ff: int = 0          # 0 → min(4·d_model, 2048)
     dropout_rate: float = 0.0
     dtype: Any = jnp.float32
 
     def setup(self) -> None:
-        d_ff = self.d_ff or 4 * self.d_model
+        d_ff = self.d_ff or min(4 * self.d_model, 2048)
         # separate adaptor embedding table (ref modeling_t5.py:1225)
         self.embed = nn.Embed(self.decode_vocab_size, self.d_model,
                               embedding_init=nn.initializers.normal(1.0),
@@ -185,12 +185,12 @@ class PawaAdaptor(nn.Module):
     decode_vocab_size: int
     num_layers: int = 4
     num_heads: int = 8
-    d_ff: int = 0          # 0 → 4 * d_model
+    d_ff: int = 0          # 0 → min(4·d_model, 2048) (torch TransformerDecoderLayer default)
     dropout_rate: float = 0.0
     dtype: Any = jnp.float32
 
     def setup(self) -> None:
-        d_ff = self.d_ff or 4 * self.d_model
+        d_ff = self.d_ff or min(4 * self.d_model, 2048)
         self.memory = self.param("memory", nn.initializers.normal(1.0),
                                  (1, 1, self.d_model), jnp.float32)
         self.layers = [

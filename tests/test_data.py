@@ -131,3 +131,23 @@ def test_bm25():
     rn = random_negatives(2, 10, [[0], [1]], k=3, seed=0)
     assert all(len(n) == 3 for n in rn)
     assert 0 not in rn[0] and 1 not in rn[1]
+
+
+def test_build_doc_query_sets():
+    from gdr_tpu.config import DataConfig
+    from gdr_tpu.data.dataset import build_doc_query_sets, mix_sources
+
+    tok = HashTokenizer(vocab_size=512)
+    texts = ["alpha beta gamma delta " * 10, "tiny doc"]
+    paths = [[0, 1], [2]]
+    sets = build_doc_query_sets(texts, paths, tok, MCFG,
+                                DataConfig(max_input_length=12, doc_length=4))
+    assert len(sets["doc"]) == 2
+    assert sets["doc"].source == ["doc", "doc"]
+    assert len(sets["aug"]) >= 2
+    # every aug row points at a real doc and carries that doc's CID label
+    for i, pos in enumerate(sets["aug"].pos_idx):
+        assert 0 <= pos < 2
+    gtq = build_train_set(["q0", "q1"], [0, 1], paths, tok, MCFG, 12)
+    mixed = mix_sources("gtq_doc_aug", gtq=gtq, **sets)
+    assert len(mixed) == 2 + 2 + len(sets["aug"])
