@@ -110,6 +110,38 @@ def sample(model: Seq2SeqLM, params, input_ids: Array, attn_mask: Array,
     return toks.T                                        # [B, max_len]
 
 
+def make_qg_train_step(model: Seq2SeqLM, opt):
+    """Teacher-forced doc→query fine-tuning (the reference finetunes
+    docTTTTTquery externally via t5_mesh_transformer, README.md:30-48 —
+    here it is one jitted step).
+
+    Batch: doc_tokens/doc_mask [B, S], query_tokens [B, L] (0-padded,
+    EOS-terminated).
+    """
+    import optax
+
+    from gdr_tpu.ops.losses import masked_cross_entropy
+
+    def loss_fn(params, batch, rng):
+        q = batch["query_tokens"]
+        dec_in = jnp.concatenate(
+            [jnp.zeros_like(q[:, :1]), q[:, :-1]], axis=1)
+        mask = (q != PAD).astype(jnp.int32)
+        logits = model.apply(params, batch["doc_tokens"], batch["doc_mask"],
+                             dec_in, mask, deterministic=False,
+                             rngs={"dropout": rng})
+        return masked_cross_entropy(logits, q, mask)
+
+    @jax.jit
+    def step(params, opt_state, batch, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
 def generate_queries(model: Seq2SeqLM, params, doc_tokens: Array,
                      doc_mask: Array, n_per_doc: int, max_len: int,
                      rng: Array, temperature: float = 1.0,

@@ -60,3 +60,32 @@ def test_generate_queries_and_assembly():
     assert len(ts) == 6
     assert ts.labels[0, 0] == 0 * 3 + 0 + 2   # path [0,1] first token
     assert ts.labels[3, 0] == 0 * 3 + 2 + 2   # path [2]
+
+
+def test_qg_train_step_loss_decreases():
+    import optax
+    from gdr_tpu.models.seq2seq import make_qg_train_step
+
+    model = Seq2SeqLM(MCFG)
+    rng = np.random.default_rng(0)
+    docs = jnp.asarray(rng.integers(2, 100, size=(4, 8)), jnp.int32)
+    queries = np.zeros((4, 6), np.int32)
+    for i in range(4):
+        n = int(rng.integers(2, 5))
+        queries[i, :n] = rng.integers(2, 100, size=n)
+        queries[i, n] = 1
+    batch = {"doc_tokens": docs, "doc_mask": jnp.ones_like(docs),
+             "query_tokens": jnp.asarray(queries)}
+    params = model.init({"params": jax.random.PRNGKey(0)}, docs,
+                        jnp.ones_like(docs), jnp.asarray(queries),
+                        jnp.ones((4, 6)))
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(params)
+    step = make_qg_train_step(model, opt)
+    first = None
+    for i in range(25):
+        params, opt_state, loss = step(params, opt_state, batch,
+                                       jax.random.PRNGKey(i))
+        if first is None:
+            first = float(loss)
+    assert float(loss) < first * 0.7, (first, float(loss))
