@@ -110,7 +110,6 @@ def cmd_index(args) -> None:
 
 def cmd_train(args) -> None:
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from gdr_tpu.config import EvalConfig, GDRConfig, TrainConfig

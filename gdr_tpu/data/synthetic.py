@@ -14,7 +14,7 @@ import numpy as np
 
 from gdr_tpu.ops.codec import digits_to_label
 from gdr_tpu.ops.kmeans import hierarchical_kmeans, paths_to_cid_mapping
-from gdr_tpu.ops.trie import TrieTensors, build_trie, compute_node_embeddings
+from gdr_tpu.ops.trie import TrieTensors, build_trie
 
 
 @dataclass

@@ -11,8 +11,6 @@ checkpoint monitor (main.py:73-82).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

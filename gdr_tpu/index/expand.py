@@ -10,8 +10,6 @@ is unchanged — only the cluster→doc expansion tables and the store grow.
 
 from __future__ import annotations
 
-import dataclasses
-
 import numpy as np
 
 from gdr_tpu.index.builder import Index

@@ -19,7 +19,7 @@ hidden state (ref EncoderModel.encode_query, main_models.py:102-109).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ as a single MXU matmul.  See ``delta_logits``.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -31,7 +31,7 @@ from typing import Iterable, Mapping, Sequence
 
 import numpy as np
 
-from gdr_tpu.ops.codec import EOS_ID, TOKEN_OFFSET, encode_cid
+from gdr_tpu.ops.codec import EOS_ID, TOKEN_OFFSET
 
 
 @dataclass

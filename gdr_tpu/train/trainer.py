@@ -21,9 +21,8 @@ The intended loss (SURVEY.md §6 defect 1: the reference's committed
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import signal
 import threading
-from typing import Iterable, Optional
+from typing import Iterable
 
 
 class PreemptionGuard:
