@@ -113,7 +113,10 @@ def main() -> None:
     ev_cfg = EvalConfig(num_beams=beams, num_return_sequences=beams,
                         max_output_length=cfg.max_output_length,
                         length_penalty=0.8)
-    evaluator = Evaluator(model, trie, store, ev_cfg)
+    # cluster-packed store: one contiguous DMA per beam in the re-rank
+    # (Pallas kernel) instead of a per-row XLA gather
+    evaluator = Evaluator(model, trie, store, ev_cfg,
+                          packed=True, use_pallas=not tiny)
 
     input_ids = jnp.asarray(rng.integers(2, cfg.vocab_size,
                                          size=(qbatch, seq_len)), jnp.int32)

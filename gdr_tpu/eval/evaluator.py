@@ -47,12 +47,26 @@ class Evaluator:
     """
 
     def __init__(self, model, trie: TrieTensors, store, cfg: EvalConfig,
-                 mesh=None):
+                 mesh=None, packed: bool = False, use_pallas: bool = False):
+        """``packed``: re-lay the store cluster-contiguously so the re-rank
+        reads one dynamic slice per beam instead of a per-row gather
+        (ops/packed_store.py).  ``use_pallas``: stream those slices through
+        the Pallas kernel (TPU only)."""
         self.model = model
         self.trie = trie
         self.cfg = cfg
         self.mesh = mesh
-        if mesh is not None:
+        self.packed = packed and mesh is None
+        self.use_pallas = use_pallas
+        if self.packed:
+            from gdr_tpu.ops.packed_store import pack_layout, pack_rows
+            starts, counts, row_to_doc, cap = pack_layout(trie)
+            self._p_starts = jnp.asarray(starts)
+            self._p_counts = jnp.asarray(counts)
+            self._p_row_to_doc = jnp.asarray(row_to_doc)
+            self._p_cap = cap
+            self.store = pack_rows(store, row_to_doc)      # device gather
+        elif mesh is not None:
             from gdr_tpu.parallel.store import place_store
             self.store = place_store(np.asarray(store), mesh)
         else:
@@ -113,6 +127,14 @@ class Evaluator:
                 self.mesh, store, q_emb, res.nodes, res.scores, res.valid,
                 cluster_of_node, cluster_docs, cluster_doc_mask, alphas,
                 top_r=cfg.num_return_sequences)
+        elif self.packed:
+            from gdr_tpu.ops.rerank import rerank_packed
+            rr = rerank_packed(store, self._p_starts, self._p_counts,
+                               self._p_row_to_doc, self._p_cap, q_emb,
+                               res.nodes, res.scores, res.valid,
+                               cluster_of_node, alphas,
+                               top_r=cfg.num_return_sequences,
+                               use_pallas=self.use_pallas)
         else:
             rr = rerank(store, q_emb, res.nodes, res.scores, res.valid,
                         cluster_of_node, cluster_docs,

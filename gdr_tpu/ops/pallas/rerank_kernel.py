@@ -7,10 +7,11 @@ HBM→VMEM exactly once with double-buffered row DMAs (indices arrive via
 scalar prefetch) and reduces it against the query on-chip, so candidate
 embeddings never round-trip through HBM.
 
-Per grid step (one beam): DMA ``chunk`` rows of the store into one of two
-VMEM buffers while the other is reduced: ``sim = tanh(q · row)``, masked
-with −1e9 for padding.  The α-sweep fusion and final top-k stay in XLA
-(they touch only [A, B, K·cap] scalars).
+Each grid step owns ``ROWS_PER_BLOCK`` beams (TPU block shapes need the
+sublane dimension divisible by 8); per beam, ``chunk`` candidate rows are
+DMA'd into one of two VMEM buffers while the other is reduced:
+``sim = tanh(q · row)``, masked with −1e9 for padding.  The α-sweep fusion
+and final top-k stay in XLA (they touch only [A, B, K·cap] scalars).
 
 The store may be fp32 or bf16 (bf16 halves the only real bandwidth term).
 """
@@ -26,6 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 NEG_INF = -1.0e9
+ROWS_PER_BLOCK = 8
 
 
 def _kernel(docs_ref, q_ref, mask_ref, store_ref, out_ref, scratch, sems,
@@ -33,39 +35,96 @@ def _kernel(docs_ref, q_ref, mask_ref, store_ref, out_ref, scratch, sems,
     i = pl.program_id(0)
     n_chunks = cap // chunk
 
-    def row_dma(slot, c):
+    def row_dma(slot, row, c):
         return pltpu.make_async_copy(
-            store_ref.at[docs_ref[i, c]],
+            store_ref.at[docs_ref[i * ROWS_PER_BLOCK + row, c]],
             scratch.at[slot, c % chunk],
             sems.at[slot, c % chunk])
 
-    def start_chunk(slot, ci):
+    def start_chunk(slot, row, ci):
         for r in range(chunk):
-            row_dma(slot, ci * chunk + r).start()
+            row_dma(slot, row, ci * chunk + r).start()
 
-    def wait_chunk(slot, ci):
+    def wait_chunk(slot, row, ci):
         for r in range(chunk):
-            row_dma(slot, ci * chunk + r).wait()
+            row_dma(slot, row, ci * chunk + r).wait()
 
-    start_chunk(0, 0)
+    # serial over the block's rows; double-buffered over chunks within a row
+    for row in range(ROWS_PER_BLOCK):
+        start_chunk(0, row, 0)
+        for ci in range(n_chunks):
+            slot = ci % 2
+            if ci + 1 < n_chunks:
+                start_chunk((ci + 1) % 2, row, ci + 1)
+            wait_chunk(slot, row, ci)
+            rows = scratch[slot].astype(jnp.float32)       # [chunk, d]
+            q = q_ref[row, :].astype(jnp.float32)          # [d]
+            sims = jnp.tanh(jnp.sum(rows * q[None, :], axis=1))
+            ok = mask_ref[row, pl.ds(ci * chunk, chunk)] > 0
+            out_ref[row, pl.ds(ci * chunk, chunk)] = jnp.where(
+                ok, sims, NEG_INF)
 
-    def body(ci, _):
-        slot = ci % 2
 
-        @pl.when(ci + 1 < n_chunks)
-        def _():
-            start_chunk((ci + 1) % 2, ci + 1)
+def _packed_kernel(starts_ref, q_ref, store_ref, out_ref, scratch, sems,
+                   *, cap: int):
+    """One contiguous [cap, d] DMA per beam (cluster-packed store).
 
-        wait_chunk(slot, ci)
-        rows = scratch[slot].astype(jnp.float32)           # [chunk, d]
-        q = q_ref[:].astype(jnp.float32)                   # [1, d]
-        sims = jnp.sum(rows * q, axis=1)                   # [chunk]
-        sims = jnp.tanh(sims)
-        ok = mask_ref[0, pl.ds(ci * chunk, chunk)] > 0
-        out_ref[0, pl.ds(ci * chunk, chunk)] = jnp.where(ok, sims, NEG_INF)
-        return 0
+    All of a block's DMAs launch up-front (one VMEM slot per row) so the
+    per-DMA latency overlaps across the whole block instead of a 2-deep
+    pipeline."""
+    i = pl.program_id(0)
 
-    jax.lax.fori_loop(0, n_chunks, body, 0)
+    def dma(row):
+        start = pl.multiple_of(starts_ref[i * ROWS_PER_BLOCK + row], 8)
+        return pltpu.make_async_copy(store_ref.at[pl.ds(start, cap)],
+                                     scratch.at[row], sems.at[row])
+
+    for row in range(ROWS_PER_BLOCK):
+        dma(row).start()
+    for row in range(ROWS_PER_BLOCK):
+        dma(row).wait()
+        block = scratch[row].astype(jnp.float32)           # [cap, d]
+        q = q_ref[row, :].astype(jnp.float32)              # [d]
+        out_ref[row, :] = jnp.tanh(jnp.sum(block * q[None, :], axis=1))
+
+
+def packed_scores_pallas(rows: Array, starts: Array, query_rows: Array,
+                         cap: int, interpret: bool = False) -> Array:
+    """sim[r, c] = tanh(q[r] · rows[starts[r] + c]) for c < cap.
+
+    ``rows``: the cluster-packed store [M, d]; ``starts``: [R] 8-aligned
+    block starts per beam; ``query_rows``: [R, d].  Masking of padded rows
+    happens in the caller (pads are zero rows → tanh(0)=0, masked later).
+    """
+    r, d = query_rows.shape
+    pad_r = (-r) % ROWS_PER_BLOCK
+    if pad_r:
+        starts = jnp.pad(starts, (0, pad_r))
+        query_rows = jnp.pad(query_rows, ((0, pad_r), (0, 0)))
+    r_p = r + pad_r
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(r_p // ROWS_PER_BLOCK,),
+        in_specs=[
+            pl.BlockSpec((ROWS_PER_BLOCK, d), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),              # packed store HBM
+        ],
+        out_specs=pl.BlockSpec((ROWS_PER_BLOCK, cap), lambda i, s: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((ROWS_PER_BLOCK, cap, d), rows.dtype),
+            pltpu.SemaphoreType.DMA((ROWS_PER_BLOCK,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_packed_kernel, cap=cap),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((r_p, cap), jnp.float32),
+        interpret=interpret,
+    )(starts.astype(jnp.int32), query_rows, rows)
+    return out[:r]
 
 
 def rerank_scores_pallas(store: Array, docs: Array, query_rows: Array,
@@ -74,27 +133,31 @@ def rerank_scores_pallas(store: Array, docs: Array, query_rows: Array,
     """sim[r, c] = tanh(query_rows[r] · store[docs[r, c]]), −1e9 where masked.
 
     store: [N, d]; docs: [R, cap] int32; query_rows: [R, d]; mask: [R, cap].
-    ``cap`` is padded to a multiple of ``chunk`` internally.
+    ``cap`` is padded to a multiple of ``chunk`` and ``R`` to a multiple of
+    ROWS_PER_BLOCK internally.
     """
     r, cap = docs.shape
     d = store.shape[1]
-    pad = (-cap) % chunk
-    if pad:
-        docs = jnp.pad(docs, ((0, 0), (0, pad)))
-        mask = jnp.pad(mask, ((0, 0), (0, pad)))
-    cap_p = cap + pad
+    pad_c = (-cap) % chunk
+    pad_r = (-r) % ROWS_PER_BLOCK
+    if pad_c or pad_r:
+        docs = jnp.pad(docs, ((0, pad_r), (0, pad_c)))
+        mask = jnp.pad(mask, ((0, pad_r), (0, pad_c)))
+        query_rows = jnp.pad(query_rows, ((0, pad_r), (0, 0)))
+    cap_p = cap + pad_c
+    r_p = r + pad_r
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(r,),
+        grid=(r_p // ROWS_PER_BLOCK,),
         in_specs=[
-            pl.BlockSpec((1, d), lambda i, docs: (i, 0),
-                         memory_space=pltpu.VMEM),          # query row
-            pl.BlockSpec((1, cap_p), lambda i, docs: (i, 0),
-                         memory_space=pltpu.VMEM),          # mask row
-            pl.BlockSpec(memory_space=pl.ANY),                # store stays HBM
+            pl.BlockSpec((ROWS_PER_BLOCK, d), lambda i, docs: (i, 0),
+                         memory_space=pltpu.VMEM),          # query rows
+            pl.BlockSpec((ROWS_PER_BLOCK, cap_p), lambda i, docs: (i, 0),
+                         memory_space=pltpu.VMEM),          # mask rows
+            pl.BlockSpec(memory_space=pl.ANY),              # store stays HBM
         ],
-        out_specs=pl.BlockSpec((1, cap_p), lambda i, docs: (i, 0),
+        out_specs=pl.BlockSpec((ROWS_PER_BLOCK, cap_p), lambda i, docs: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, chunk, d), store.dtype),
@@ -104,7 +167,7 @@ def rerank_scores_pallas(store: Array, docs: Array, query_rows: Array,
     out = pl.pallas_call(
         functools.partial(_kernel, cap=cap_p, chunk=chunk),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((r, cap_p), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((r_p, cap_p), jnp.float32),
         interpret=interpret,
     )(docs.astype(jnp.int32), query_rows, mask.astype(jnp.int32), store)
-    return out[:, :cap]
+    return out[:r, :cap]

@@ -110,3 +110,63 @@ def rerank(doc_store: Array, query_emb: Array, nodes: Array,
     return RerankResult(doc_ids=top_docs.astype(jnp.int32),
                         scores=top_scores, doc_valid=doc_valid,
                         cluster_probs=probs)
+
+
+def rerank_packed(packed_rows: Array, packed_starts: Array,
+                  packed_counts: Array, row_to_doc: Array, cap: int,
+                  query_emb: Array, nodes: Array, beam_scores: Array,
+                  valid: Array, cluster_of_node: Array, alphas: Array,
+                  top_r: int, squash: str = "tanh",
+                  use_pallas: bool = False,
+                  pallas_interpret: bool = False) -> RerankResult:
+    """Re-rank over the cluster-packed store (ops/packed_store.py).
+
+    Each beam's candidates are one contiguous [cap, d] block — a single
+    dynamic slice (Pallas path: one DMA per beam) instead of a per-row
+    gather, which XLA lowers ~25× slower than streaming reads (measured).
+    Results are reported in original doc ids via ``row_to_doc``.
+    """
+    fn = jnp.tanh if squash == "tanh" else jax.nn.sigmoid
+    b, k = nodes.shape
+    rows = cluster_of_node[nodes]                          # [B, K]
+    ok = valid & (rows >= 0)
+    rows_c = jnp.maximum(rows, 0)
+    start = packed_starts[rows_c]                          # [B, K]
+    count = packed_counts[rows_c]
+    mask = (jnp.arange(cap)[None, None, :] < count[..., None]) & ok[..., None]
+
+    probs = jax.nn.softmax(
+        jnp.where(valid, beam_scores, NEG_INF).astype(jnp.float32), axis=-1)
+
+    if query_emb.ndim == 2:
+        q_bk = jnp.broadcast_to(query_emb[:, None, :],
+                                (b, k, query_emb.shape[-1]))
+    else:
+        q_bk = query_emb
+
+    if use_pallas and squash == "tanh":
+        from gdr_tpu.ops.pallas.rerank_kernel import packed_scores_pallas
+        sim = packed_scores_pallas(packed_rows, start.reshape(-1),
+                                   q_bk.reshape(b * k, -1), cap,
+                                   interpret=pallas_interpret)
+        sim = sim.reshape(b, k, cap)
+    else:
+        idx = start[..., None] + jnp.arange(cap)[None, None, :]
+        emb = packed_rows[idx.reshape(b, -1)].reshape(b, k, cap, -1)
+        sim = fn(jnp.einsum("bkd,bkcd->bkc", q_bk.astype(jnp.float32),
+                            emb.astype(jnp.float32)))
+    sim = jnp.where(mask, sim, NEG_INF)
+
+    fused = sim[None] + alphas[:, None, None, None] * probs[None, :, :, None]
+    fused = jnp.where(mask[None], fused, NEG_INF)
+    flat = fused.reshape(len(alphas), b, k * cap)
+    top_scores, top_idx = jax.lax.top_k(flat, top_r)
+    flat_rows = (start[..., None] + jnp.arange(cap)[None, None, :]
+                 ).reshape(1, b, k * cap)
+    top_rows = jnp.take_along_axis(
+        jnp.broadcast_to(flat_rows, flat.shape), top_idx, axis=-1)
+    top_docs = row_to_doc[top_rows]                        # original doc ids
+    doc_valid = top_scores > NEG_INF / 2
+    return RerankResult(doc_ids=top_docs.astype(jnp.int32),
+                        scores=top_scores, doc_valid=doc_valid,
+                        cluster_probs=probs)
