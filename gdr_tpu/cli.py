@@ -173,7 +173,8 @@ def cmd_eval(args) -> None:
                           args.max_input_length)
     ev_cfg = EvalConfig(num_beams=args.beam, num_return_sequences=args.beam,
                         max_output_length=mcfg.max_output_length)
-    evaluator = Evaluator(model, index.trie, index.store, ev_cfg)
+    evaluator = Evaluator(model, index.trie, index.store, ev_cfg,
+                          packed=args.packed, use_pallas=args.pallas)
     out = evaluator.evaluate(params, dev, batch_size=args.eval_batch_size)
     print(json.dumps(out, indent=2, sort_keys=True))
 
@@ -253,6 +254,10 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--max-input-length", type=int, default=40)
     pe.add_argument("--beam", type=int, default=100)
     pe.add_argument("--eval-batch-size", type=int, default=8)
+    pe.add_argument("--packed", action="store_true",
+                    help="cluster-packed store (contiguous per-beam slices)")
+    pe.add_argument("--pallas", action="store_true",
+                    help="Pallas re-rank kernel (TPU)")
     pe.add_argument("--seed", type=int, default=42)
     pe.set_defaults(fn=cmd_eval)
 

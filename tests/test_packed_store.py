@@ -75,3 +75,31 @@ def test_rerank_packed_matches_generic(world, use_pallas):
     np.testing.assert_allclose(np.asarray(got.scores)[v],
                                np.asarray(ref.scores)[v],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_packed_evaluator_matches_generic(world):
+    """Evaluator(packed=True) end-to-end equals the generic evaluator."""
+    import dataclasses
+    import jax
+    from gdr_tpu.config import tiny_config
+    from gdr_tpu.data.synthetic import build_synthetic_task
+    from gdr_tpu.eval.evaluator import Evaluator
+    from gdr_tpu.models.gdr import GenerativeRetriever, init_params
+
+    CFG = tiny_config(kary=3, max_output_length=5)
+    task = build_synthetic_task(n_docs=16, dim=16, kary=3, leaf_cap=4,
+                                seq_len=8, vocab_size=CFG.model.vocab_size,
+                                max_output_length=5, seed=0)
+    model = GenerativeRetriever(dataclasses.replace(CFG.model,
+                                                    dropout_rate=0.0))
+    params = init_params(model, jax.random.PRNGKey(0))
+    ev_cfg = dataclasses.replace(CFG.eval, num_beams=4,
+                                 num_return_sequences=4, score_rates=(0.0,))
+    generic = Evaluator(model, task.trie, task.store, ev_cfg)
+    packed = Evaluator(model, task.trie, task.store, ev_cfg, packed=True)
+    r1, rr1 = generic.retrieve(params, task.input_ids[:2], task.attn_mask[:2])
+    r2, rr2 = packed.retrieve(params, task.input_ids[:2], task.attn_mask[:2])
+    v = np.asarray(rr1.doc_valid)
+    np.testing.assert_array_equal(np.asarray(rr2.doc_valid), v)
+    np.testing.assert_array_equal(np.asarray(rr2.doc_ids)[v],
+                                  np.asarray(rr1.doc_ids)[v])
