@@ -60,3 +60,36 @@ def test_merge_retrievals():
     scores = [[0.9, 0.5, 0.1], [0.7, 0.6]]
     merged = merge_retrievals(docs, scores, top_k=3)
     assert merged == ["a", "b", "d"]   # b keeps its best score (0.7)
+
+
+def test_ensemble_retrieval_merge_end_to_end():
+    """Each member decodes over its own k-means trie; results merge by best
+    fused score (the reference's multi-decoder eval, main_models.py:1663-1676)."""
+    from gdr_tpu.data.synthetic import build_synthetic_task
+    from gdr_tpu.eval.evaluator import Evaluator
+    from gdr_tpu.models.ensemble import member_params, merge_retrievals
+
+    n = 2
+    model = GenerativeRetriever(MCFG)
+    enc_side, dec_stacked = init_ensemble(model, jax.random.PRNGKey(0), n)
+    # two different docid assignments over the same corpus (different seeds)
+    tasks = [build_synthetic_task(n_docs=12, dim=16, kary=3, leaf_cap=4,
+                                  seq_len=8, vocab_size=MCFG.vocab_size,
+                                  max_output_length=5, seed=s)
+             for s in (0, 1)]
+    ids, attn = tasks[0].input_ids[:2], tasks[0].attn_mask[:2]
+    ev_cfg = dataclasses.replace(CFG.eval, num_beams=4,
+                                 num_return_sequences=4, score_rates=(0.0,))
+    doc_lists, score_lists = [], []
+    for i in range(n):
+        ev = Evaluator(model, tasks[i].trie, tasks[i].store, ev_cfg)
+        res, rr = ev.retrieve(member_params(enc_side, dec_stacked, i),
+                              ids, attn)
+        d = np.asarray(rr.doc_ids)[0, 0]
+        v = np.asarray(rr.doc_valid)[0, 0]
+        s = np.asarray(rr.scores)[0, 0]
+        doc_lists.append([str(int(x)) for x, ok in zip(d, v) if ok])
+        score_lists.append([float(x) for x, ok in zip(s, v) if ok])
+    merged = merge_retrievals(doc_lists, score_lists, top_k=6)
+    assert 0 < len(merged) <= 6
+    assert len(set(merged)) == len(merged)

@@ -105,3 +105,27 @@ def test_overflow_cluster_cap():
     t = build_trie({"0": list(range(100))}, kary=2, max_docs_per_cluster=16)
     assert t.doc_count[t.node_of_path([0])] == 100       # CSR keeps everything
     assert t.cluster_doc_mask[0].sum() == 16             # padded table truncates
+
+
+def test_insert_docs_at_scale():
+    """Expansion with many new docs stays consistent (cap growth, CSR)."""
+    rng = np.random.default_rng(9)
+    centers = rng.normal(size=(5, 8)) * 10
+    base = np.concatenate([centers[i] + rng.normal(size=(20, 8)) * 0.1
+                           for i in range(5)]).astype(np.float32)
+    from gdr_tpu.ops.kmeans import hierarchical_kmeans, paths_to_cid_mapping
+    paths = hierarchical_kmeans(base, kary=5, leaf_cap=25, iters=10, seed=0)
+    t = build_trie(paths_to_cid_mapping(paths), kary=5,
+                   max_docs_per_cluster=32, doc_embeddings=base)
+    new = np.concatenate([centers[i % 5] + rng.normal(size=(1, 8)) * 0.1
+                          for i in range(200)]).astype(np.float32)
+    t2, rows = insert_docs(t, new, first_new_index=100)
+    total = sum(len(t2.docs_of_cid(t2.cid_of_node(int(n))))
+                for n in t2.cluster_node_ids)
+    assert total == 300
+    # all original docs still present under their original clusters
+    for n in t.cluster_node_ids:
+        cid = t.cid_of_node(int(n))
+        assert set(t.docs_of_cid(cid)) <= set(t2.docs_of_cid(cid))
+    # padded table grew to hold the largest cluster
+    assert t2.max_docs_per_cluster >= int(t2.doc_count.max())
