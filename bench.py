@@ -79,9 +79,11 @@ def main() -> None:
                           num_heads=4, vocab_size=512, encoder_d_model=64,
                           adaptor_layer_num=1, adaptor_num_heads=2)
         n_docs, beams, seq_len, iters, qbatch = 2_000, 10, 16, 4, 4
+        group = 2
     else:
         cfg = ModelConfig().scaled("base")          # t5-base, kary 30, L 10
-        n_docs, beams, seq_len, iters, qbatch = 334_314, 100, 40, 8, 32
+        n_docs, beams, seq_len, iters, qbatch = 334_314, 100, 40, 6, 32
+        group = 4   # sub-batches per compiled execution (lax.map)
 
     rng = np.random.default_rng(0)
     log("building trie ...")
@@ -119,30 +121,32 @@ def main() -> None:
                           packed=True, use_pallas=not tiny)
 
     input_ids = jnp.asarray(rng.integers(2, cfg.vocab_size,
-                                         size=(qbatch, seq_len)), jnp.int32)
-    attn = jnp.ones((qbatch, seq_len), jnp.int32)
+                                         size=(group, qbatch, seq_len)),
+                            jnp.int32)
+    attn = jnp.ones((group, qbatch, seq_len), jnp.int32)
 
     def materialize(res, rr):
         # np.asarray forces a device→host roundtrip: on the axon tunnel,
         # block_until_ready alone returns before remote execution finishes
         return np.asarray(res.sequences), np.asarray(rr.doc_ids)
 
-    log(f"compiling + warmup (batch {qbatch}) ...")
+    log(f"compiling + warmup (batch {group}x{qbatch}) ...")
     t0 = time.perf_counter()
-    res, rr = evaluator.retrieve(params, input_ids, attn)
+    res, rr = evaluator.retrieve_many(params, input_ids, attn)
     materialize(res, rr)
     log(f"first call (compile): {time.perf_counter()-t0:.1f}s")
-    res, rr = evaluator.retrieve(params, input_ids, attn)
+    res, rr = evaluator.retrieve_many(params, input_ids, attn)
     materialize(res, rr)
 
-    # throughput: pipelined dispatch of `iters` batches; the async queue
-    # keeps the chip busy, and device→host copies are started asynchronously
-    # for every batch before any blocking read (one tunnel drain, not 2/batch)
+    # throughput: pipelined dispatch of `iters` mega-batches (each one
+    # compiled execution covering group*qbatch queries); device→host copies
+    # start asynchronously for every batch before any blocking read
     queries = [jnp.asarray(rng.integers(2, cfg.vocab_size,
-                                        size=(qbatch, seq_len)), jnp.int32)
+                                        size=(group, qbatch, seq_len)),
+                           jnp.int32)
                for _ in range(iters)]
     t_start = time.perf_counter()
-    inflight = [evaluator.retrieve(params, q, attn) for q in queries]
+    inflight = [evaluator.retrieve_many(params, q, attn) for q in queries]
     for res, rr in inflight:
         res.sequences.copy_to_host_async()
         rr.doc_ids.copy_to_host_async()
@@ -151,9 +155,9 @@ def main() -> None:
         materialize(res, rr)
         per_batch.append(time.perf_counter() - t_start)
     total = time.perf_counter() - t_start
-    qps = iters * qbatch / total
+    qps = iters * group * qbatch / total
     lat_ms = 1e3 * np.diff([0.0] + per_batch)
-    log(f"throughput: {qps:.1f} q/s over {iters}x{qbatch} queries "
+    log(f"throughput: {qps:.1f} q/s over {iters}x{group}x{qbatch} queries "
         f"({total*1e3:.1f} ms total); per-batch ms: "
         f"{np.array2string(lat_ms, precision=1)}")
 

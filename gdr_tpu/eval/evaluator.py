@@ -150,6 +150,29 @@ class Evaluator:
                               self._cluster_of_node, self._cluster_docs,
                               self._cluster_doc_mask, self._alphas)
 
+    def retrieve_many(self, params, input_ids, attn_mask):
+        """Multi-batch retrieval in ONE compiled program.
+
+        input_ids/attn_mask: [G, B, S] — a ``lax.map`` over G sub-batches
+        keeps the per-sub-batch decode at its most efficient size while
+        amortising the per-execution dispatch cost (the dominant fixed cost
+        on tunnelled/serving deployments) over G·B queries.
+        Returns (BeamResult, RerankResult) with a leading G axis.
+        """
+        if not hasattr(self, "_retrieve_many"):
+            def impl(params, ids_stack, mask_stack, store, *tables):
+                def one(args):
+                    ids, msk = args
+                    return self._retrieve_impl(params, ids, msk, store,
+                                               *tables)
+                return jax.lax.map(one, (ids_stack, mask_stack))
+            self._retrieve_many = jax.jit(impl)
+        return self._retrieve_many(params, jnp.asarray(input_ids),
+                                   jnp.asarray(attn_mask), self.store,
+                                   self._children, self._eos,
+                                   self._cluster_of_node, self._cluster_docs,
+                                   self._cluster_doc_mask, self._alphas)
+
     def evaluate(self, params, data: EvalData, batch_size: int = 8,
                  kary: int | None = None,
                  result_tsv: str | None = None) -> dict[str, float]:
