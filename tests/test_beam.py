@@ -40,7 +40,7 @@ def make_step_fn(table, mask):
     table = jnp.asarray(table)
     mask = jnp.asarray(mask)
 
-    def step_fn(cur_tok, cache, pos):
+    def step_fn(cur_tok, cache, pos, width=None):
         h = (cache["h"] * 31 + cur_tok) % TABLE_SIZE
         logits = table[h % TABLE_SIZE] + mask[pos]
         return logits, {"h": h}
@@ -153,3 +153,34 @@ def test_early_exit_matches_scan(toy):
     np.testing.assert_array_equal(np.asarray(a.sequences), np.asarray(b.sequences))
     np.testing.assert_allclose(np.asarray(a.scores), np.asarray(b.scores), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(a.nodes), np.asarray(b.nodes))
+
+
+@pytest.mark.parametrize("length_penalty", [1.0, 0.8])
+def test_progressive_matches_fixed_width(toy, length_penalty):
+    """Progressive warmup widening must reproduce the fixed-width search."""
+    trie, table, mask = toy
+    K = 5
+    step_fn = make_step_fn(table, mask)
+    kw = dict(batch=2, num_beams=K, kary=KARY, max_len=MAX_LEN,
+              children=jnp.asarray(trie.children),
+              eos_allowed=jnp.asarray(trie.eos_allowed),
+              length_penalty=length_penalty)
+    fixed = beam_search(step_fn, {"h": jnp.zeros((2 * K,), jnp.int32)},
+                        progressive=False, **kw)
+    prog = beam_search(step_fn, {"h": jnp.zeros((2,), jnp.int32)},
+                       progressive=True, **kw)
+    np.testing.assert_array_equal(np.asarray(prog.sequences),
+                                  np.asarray(fixed.sequences))
+    np.testing.assert_allclose(np.asarray(prog.scores),
+                               np.asarray(fixed.scores), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(prog.nodes),
+                                  np.asarray(fixed.nodes))
+    np.testing.assert_array_equal(np.asarray(prog.valid),
+                                  np.asarray(fixed.valid))
+
+
+def test_warmup_widths():
+    from gdr_tpu.ops.beam import warmup_widths
+    assert warmup_widths(100, 30, 10) == [1, 31]
+    assert warmup_widths(5, 3, 4) == [1, 4]
+    assert warmup_widths(1, 30, 10) == []
