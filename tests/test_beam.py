@@ -184,3 +184,21 @@ def test_warmup_widths():
     assert warmup_widths(100, 30, 10) == [1, 31]
     assert warmup_widths(5, 3, 4) == [1, 4]
     assert warmup_widths(1, 30, 10) == []
+
+
+def test_progressive_with_scan_tail(toy):
+    """progressive warmup + non-early-exit scan tail (differentiable path)."""
+    trie, table, mask = toy
+    K = 4
+    step_fn = make_step_fn(table, mask)
+    kw = dict(batch=1, num_beams=K, kary=KARY, max_len=MAX_LEN,
+              children=jnp.asarray(trie.children),
+              eos_allowed=jnp.asarray(trie.eos_allowed))
+    a = beam_search(step_fn, {"h": jnp.zeros((1,), jnp.int32)},
+                    progressive=True, early_exit=False, **kw)
+    b = beam_search(step_fn, {"h": jnp.zeros((K,), jnp.int32)},
+                    progressive=False, early_exit=True, **kw)
+    np.testing.assert_array_equal(np.asarray(a.sequences),
+                                  np.asarray(b.sequences))
+    np.testing.assert_allclose(np.asarray(a.scores), np.asarray(b.scores),
+                               rtol=1e-5, atol=1e-6)
