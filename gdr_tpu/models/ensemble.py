@@ -79,6 +79,40 @@ def ensemble_logits(model: GenerativeRetriever, enc_side: dict,
     return jax.vmap(one, in_axes=(0, 0, 0))(dec_stacked, labels, label_mask)
 
 
+def make_ensemble_train_step(model: GenerativeRetriever, opt):
+    """Jitted CID-generation training over all ensemble members at once.
+
+    The reference iterates ``_step_i`` per decoder with per-decoder targets
+    (main_models.py:1065-1069, dataset target lists at :497-500); here the
+    members' CE losses compute in one vmapped program and average.
+
+    Batch: input_ids/attn_mask [B, S]; labels/label_mask [N, B, L]
+    (one docid assignment per member).  Params: {"enc": enc_side,
+    "dec": stacked decoder sides}.
+    """
+    import optax
+
+    from gdr_tpu.ops.losses import masked_cross_entropy
+
+    def loss_fn(params, batch):
+        logits = ensemble_logits(model, params["enc"], params["dec"],
+                                 batch["input_ids"], batch["attn_mask"],
+                                 batch["labels"], batch["label_mask"])
+        losses = jax.vmap(masked_cross_entropy)(
+            logits, batch["labels"], batch["label_mask"])
+        return losses.mean(), losses
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        (loss, per_member), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, per_member
+
+    return step
+
+
 def member_params(enc_side: dict, dec_stacked: Any, i: int) -> dict:
     """Materialise full params of ensemble member ``i`` (for generation)."""
     return merge_params(enc_side, _index(dec_stacked, i))

@@ -93,3 +93,37 @@ def test_ensemble_retrieval_merge_end_to_end():
     merged = merge_retrievals(doc_lists, score_lists, top_k=6)
     assert 0 < len(merged) <= 6
     assert len(set(merged)) == len(merged)
+
+
+def test_ensemble_train_step_loss_decreases():
+    import optax
+    from gdr_tpu.models.ensemble import make_ensemble_train_step
+
+    n, b, s, L = 2, 4, 8, MCFG.max_output_length
+    model = GenerativeRetriever(MCFG)
+    enc_side, dec_stacked = init_ensemble(model, jax.random.PRNGKey(0), n)
+    rng = np.random.default_rng(0)
+    labels = np.zeros((n, b, L), np.int32)
+    for i in range(n):
+        for j in range(b):
+            digits = rng.integers(0, MCFG.kary, size=2)
+            toks = [p * MCFG.kary + int(d) + 2
+                    for p, d in enumerate(digits)] + [1]
+            labels[i, j, :len(toks)] = toks
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(2, 100, size=(b, s)), jnp.int32),
+        "attn_mask": jnp.ones((b, s), jnp.int32),
+        "labels": jnp.asarray(labels),
+        "label_mask": jnp.asarray((labels != 0).astype(np.int32)),
+    }
+    params = {"enc": enc_side, "dec": dec_stacked}
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(params)
+    step = make_ensemble_train_step(model, opt)
+    first = None
+    for i in range(20):
+        params, opt_state, loss, per_member = step(params, opt_state, batch)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < first * 0.8, (first, float(loss))
+    assert per_member.shape == (n,)

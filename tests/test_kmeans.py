@@ -74,3 +74,12 @@ def test_small_input_short_circuit():
     paths = hierarchical_kmeans(X, kary=8, leaf_cap=2, iters=5, seed=0)
     cids = {"-".join(map(str, p)) for p in paths}
     assert len(cids) == 3  # enumerated directly, n <= kary
+
+
+def test_hierarchical_kmeans_deterministic_under_seed(rng):
+    X = rng.normal(size=(60, 8)).astype(np.float32)
+    a = hierarchical_kmeans(X, kary=4, leaf_cap=8, iters=10, seed=3)
+    b = hierarchical_kmeans(X, kary=4, leaf_cap=8, iters=10, seed=3)
+    assert a == b
+    c = hierarchical_kmeans(X, kary=4, leaf_cap=8, iters=10, seed=4)
+    assert c != a          # different seed → different assignment (w.h.p.)
