@@ -26,12 +26,7 @@ def _is_no_decay(path: tuple) -> bool:
     (ref no_decay = ["bias", "LayerNorm.weight"])."""
     names = [getattr(p, "key", str(p)) for p in path]
     leaf = names[-1] if names else ""
-    if leaf in ("bias",):
-        return True
-    if leaf in ("scale",):  # RMSNorm / LayerNorm scale
-        return True
-    return any("ln" == n[:2] or "LayerNorm" in n or "norm" in n.lower()
-               for n in names[:-1]) and leaf in ("scale", "bias")
+    return leaf in ("bias", "scale")   # scale = RMSNorm / LayerNorm weight
 
 
 def _group_of(path: tuple) -> str:
