@@ -128,3 +128,23 @@ def test_decoder_query_rep_paths(trained):
         assert np.asarray(rr.doc_valid).any(), (avg, special, use_enc)
         assert np.isfinite(np.asarray(rr.scores)[
             np.asarray(rr.doc_valid)]).all()
+
+
+def test_retrieve_many_matches_retrieve(trained):
+    import dataclasses as dc
+
+    task, model, state, _ = trained
+    ev_cfg = dc.replace(CFG.eval, num_beams=4, num_return_sequences=4,
+                        score_rates=(0.0,))
+    ev = Evaluator(model, task.trie, task.store, ev_cfg)
+    ids = np.stack([task.input_ids[:4], task.input_ids[4:8]])   # [2, 4, S]
+    msk = np.stack([task.attn_mask[:4], task.attn_mask[4:8]])
+    res_m, rr_m = ev.retrieve_many(state.params["generator"], ids, msk)
+    for g in range(2):
+        res, rr = ev.retrieve(state.params["generator"], ids[g], msk[g])
+        np.testing.assert_array_equal(np.asarray(res_m.sequences)[g],
+                                      np.asarray(res.sequences))
+        v = np.asarray(rr.doc_valid)
+        np.testing.assert_array_equal(np.asarray(rr_m.doc_valid)[g], v)
+        np.testing.assert_array_equal(np.asarray(rr_m.doc_ids)[g][v],
+                                      np.asarray(rr.doc_ids)[v])
