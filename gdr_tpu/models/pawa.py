@@ -198,12 +198,14 @@ class PawaAdaptor(nn.Module):
                       self.dtype, name=f"layer_{i}")
             for i in range(self.num_layers)
         ]
-        # U: the per-prefix lm-head delta generator, laid out [V, d_j, d_i]
-        # (vocab-major) so the decode fast path can slice the ≤ kary+1 valid
-        # columns of a position as *contiguous* memory (see delta_candidates).
+        # U: the per-prefix lm-head delta generator, laid out [d_j, V, d_i]
+        # so (a) the decode fast path slices the ≤ kary+1 valid vocab blocks
+        # of a position with one dynamic slice and (b) the contraction with
+        # the adaptor state is ONE [B,d]·[d, (kary+1)·d] MXU matmul instead
+        # of kary+1 batched small ones (see delta_candidates).
         self.u = self.param(
             "u", nn.initializers.normal(0.02),
-            (self.decode_vocab_size, self.d_model, self.d_model), jnp.float32)
+            (self.d_model, self.decode_vocab_size, self.d_model), jnp.float32)
 
     def __call__(self, decode_embeds: Array, deterministic: bool = True) -> Array:
         """decode_embeds: [B, L, d] (embedded decoder *input* tokens)."""
@@ -241,17 +243,19 @@ class PawaAdaptor(nn.Module):
         return x, cache
 
     def delta_logits(self, adaptor_out: Array, decoder_out: Array) -> Array:
-        """Σ_ij A[...,j]·s[...,i]·U[v,j,i] without the [.., L, d, V] blow-up.
+        """Σ_ij A[...,j]·s[...,i]·U[j,v,i] without the [.., L, d, V] blow-up.
 
-        Per position: G[b,v,:] = A[b]·U[v] (batched MXU matmuls, the dominant
-        FLOPs), then a matvec with the decoder state.  The live intermediate
-        is [B, V, d] instead of the reference's [B, L, d, V]
+        Per position: G[b] = A[b] @ U (one [B,d]·[d, V·d] MXU matmul, the
+        dominant FLOPs), then a matvec with the decoder state.  The live
+        intermediate is [B, V·d] instead of the reference's [B, L, d, V]
         (modeling_t5.py:1636-1639).
 
         adaptor_out (A), decoder_out (s): [B, L, d] (or [B, d] for one step).
         Returns [B, L, V] (resp. [B, V]).
         """
-        u = self.u.astype(self.dtype)
+        d = self.d_model
+        v = self.decode_vocab_size
+        u_flat = self.u.astype(self.dtype).reshape(d, v * d)
 
         single = adaptor_out.ndim == 2
         if single:
@@ -260,8 +264,8 @@ class PawaAdaptor(nn.Module):
 
         def per_position(args: tuple[Array, Array]) -> Array:
             a_l, s_l = args                                  # [B, d] each
-            g = jnp.einsum("bj,vji->bvi", a_l, u,
-                           preferred_element_type=jnp.float32)  # [B, V, d]
+            g = jnp.dot(a_l, u_flat, preferred_element_type=jnp.float32)
+            g = g.reshape(a_l.shape[0], v, d)                # [B, V, d]
             return jnp.einsum("bvi,bi->bv", g,
                               s_l.astype(jnp.float32)).astype(self.dtype)
 
@@ -278,18 +282,21 @@ class PawaAdaptor(nn.Module):
 
         The positional codec makes a step's valid tokens contiguous
         (``first_token .. first_token+kary-1``) plus EOS, so the relevant
-        slice of U is one dynamic-slice of ``kary`` contiguous [d, d] blocks
-        + the EOS block — ``(kary+1)/V`` of the full bandwidth and FLOPs
-        (≈ 1/10 at the reference operating point of kary 30, depth 10).
+        slice of U is one dynamic slice along the vocab axis —
+        ``(kary+1)/V`` of the full bandwidth and FLOPs (≈ 1/10 at the
+        reference operating point of kary 30, depth 10) — and the whole
+        delta is one fat [B,d]·[d,(kary+1)·d] matmul.
 
         adaptor_out/decoder_out: [B, d].  Returns [B, kary+1] (digits, EOS).
         """
-        u = self.u.astype(self.dtype)
+        u = self.u.astype(self.dtype)                        # [d, V, d]
         d = self.d_model
-        u_dig = jax.lax.dynamic_slice_in_dim(u, first_token, kary, axis=0)
-        u_eos = u[1]                                         # EOS block [d, d]
-        u_cand = jnp.concatenate([u_dig, u_eos[None]], axis=0)  # [kary+1,d,d]
-        g = jnp.einsum("bj,vji->bvi", adaptor_out, u_cand,
-                       preferred_element_type=jnp.float32)
+        b = adaptor_out.shape[0]
+        u_dig = jax.lax.dynamic_slice_in_dim(u, first_token, kary, axis=1)
+        u_eos = u[:, 1:2, :]                                 # EOS block
+        u_cand = jnp.concatenate([u_dig, u_eos], axis=1)     # [d, kary+1, d]
+        g = jnp.dot(adaptor_out, u_cand.reshape(d, (kary + 1) * d),
+                    preferred_element_type=jnp.float32)
+        g = g.reshape(b, kary + 1, d)
         return jnp.einsum("bvi,bi->bv", g,
                           decoder_out.astype(jnp.float32))
