@@ -88,6 +88,71 @@ def load_t5_encoder(params: dict, state_dict: Mapping[str, Any],
     return tree
 
 
+def load_bert_encoder(params: dict, state_dict: Mapping[str, Any],
+                      num_layers: int, num_heads: int) -> dict:
+    """Copy a HuggingFace BERT state dict into a gdr_tpu DocEncoder tree.
+
+    The reference's doc tower is a DPR/BERT context encoder with AR2 weights
+    (main_models.py:66-75); this loads any standard ``bert-base``-style
+    checkpoint (also accepts DPR's ``ctx_encoder.bert_model.`` or AR2's
+    ``ctx_model.`` prefixes).  Flax attention kernels are reshaped to
+    [d, heads, head_dim] (query/key/value) and [heads, head_dim, d] (out).
+    """
+    import jax
+
+    # normalise prefixes
+    sd = {}
+    for k, v in state_dict.items():
+        for pref in ("ctx_encoder.bert_model.", "ctx_model.", "bert.",
+                     "bert_model.", ""):
+            if k.startswith(pref):
+                sd[k[len(pref):]] = v
+                break
+
+    tree = jax.tree_util.tree_map(np.asarray, params)
+    inner = tree["params"]
+    d = np.asarray(inner["tok_embed"]["embedding"]).shape[1]
+    hd = d // num_heads
+
+    def put(path, val):
+        _set(inner, path, val)
+
+    put(["tok_embed", "embedding"],
+        _np(sd["embeddings.word_embeddings.weight"]))
+    put(["pos_embed", "embedding"],
+        _np(sd["embeddings.position_embeddings.weight"]))
+    put(["type_embed", "embedding"],
+        _np(sd["embeddings.token_type_embeddings.weight"]))
+    put(["embed_ln", "scale"], _np(sd["embeddings.LayerNorm.weight"]))
+    put(["embed_ln", "bias"], _np(sd["embeddings.LayerNorm.bias"]))
+    for i in range(num_layers):
+        hf = f"encoder.layer.{i}"
+        my = f"block_{i}"
+        for hf_n, my_n in (("query", "query"), ("key", "key"),
+                           ("value", "value")):
+            w = _np(sd[f"{hf}.attention.self.{hf_n}.weight"]).T  # [d, d]
+            put([my, "attn", my_n, "kernel"], w.reshape(d, num_heads, hd))
+            put([my, "attn", my_n, "bias"],
+                _np(sd[f"{hf}.attention.self.{hf_n}.bias"]).reshape(
+                    num_heads, hd))
+        wo = _np(sd[f"{hf}.attention.output.dense.weight"]).T    # [d, d]
+        put([my, "attn", "out", "kernel"], wo.reshape(num_heads, hd, d))
+        put([my, "attn", "out", "bias"],
+            _np(sd[f"{hf}.attention.output.dense.bias"]))
+        put([my, "ln1", "scale"],
+            _np(sd[f"{hf}.attention.output.LayerNorm.weight"]))
+        put([my, "ln1", "bias"],
+            _np(sd[f"{hf}.attention.output.LayerNorm.bias"]))
+        put([my, "ff1", "kernel"],
+            _np(sd[f"{hf}.intermediate.dense.weight"]).T)
+        put([my, "ff1", "bias"], _np(sd[f"{hf}.intermediate.dense.bias"]))
+        put([my, "ff2", "kernel"], _np(sd[f"{hf}.output.dense.weight"]).T)
+        put([my, "ff2", "bias"], _np(sd[f"{hf}.output.dense.bias"]))
+        put([my, "ln2", "scale"], _np(sd[f"{hf}.output.LayerNorm.weight"]))
+        put([my, "ln2", "bias"], _np(sd[f"{hf}.output.LayerNorm.bias"]))
+    return tree
+
+
 def state_dict_from_pretrained(path: str) -> Mapping[str, Any]:
     """Load a local HF T5 checkpoint's state dict (no network)."""
     from transformers import T5ForConditionalGeneration

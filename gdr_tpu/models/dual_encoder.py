@@ -37,12 +37,12 @@ class BertBlock(nn.Module):
             num_heads=self.num_heads, dtype=self.dtype,
             dropout_rate=self.dropout_rate, name="attn")(
                 x, x, mask=mask, deterministic=deterministic)
-        x = nn.LayerNorm(dtype=self.dtype, name="ln1")(
+        x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="ln1")(
             x + nn.Dropout(self.dropout_rate)(h, deterministic=deterministic))
         h = nn.Dense(self.d_ff, dtype=self.dtype, name="ff1")(x)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)     # BERT uses exact (erf) GELU
         h = nn.Dense(self.d_model, dtype=self.dtype, name="ff2")(h)
-        x = nn.LayerNorm(dtype=self.dtype, name="ln2")(
+        x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="ln2")(
             x + nn.Dropout(self.dropout_rate)(h, deterministic=deterministic))
         return x
 
@@ -68,14 +68,19 @@ class DocEncoder(nn.Module):
                        name="tok_embed")(input_ids)
         pos = nn.Embed(self.max_position, self.d_model, dtype=self.dtype,
                        name="pos_embed")(jnp.arange(l)[None])
-        x = nn.LayerNorm(dtype=self.dtype, name="embed_ln")(tok + pos)
+        # single-segment inputs: token-type embedding of segment 0 (kept so
+        # pretrained BERT/AR2 checkpoints load losslessly)
+        typ = nn.Embed(2, self.d_model, dtype=self.dtype,
+                       name="type_embed")(jnp.zeros((1, l), jnp.int32))
+        x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
+                         name="embed_ln")(tok + pos + typ)
         x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
         mask = attn_mask[:, None, None, :].astype(bool)
         for i in range(self.num_layers):
             x = BertBlock(self.d_model, self.num_heads, self.d_ff,
                           self.dropout_rate, self.dtype, name=f"block_{i}")(
                               x, mask, deterministic=deterministic)
-        return x[:, 0]                                     # CLS pooling
+        return x[:, 0]       # CLS pooling (DPR ctx encoder, projection_dim=0)
 
 
 def tiny_doc_encoder(d_model: int = 32) -> DocEncoder:

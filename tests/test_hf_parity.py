@@ -62,3 +62,41 @@ def test_encoder_matches_hf_t5():
     # but downstream consumers never read it)
     valid = mask.astype(bool)
     np.testing.assert_allclose(got[valid], ref[valid], rtol=2e-3, atol=2e-3)
+
+
+def test_doc_encoder_matches_hf_bert():
+    from transformers import BertConfig, BertModel
+
+    from gdr_tpu.models.convert import load_bert_encoder
+    from gdr_tpu.models.dual_encoder import DocEncoder
+
+    d, heads, layers, ff = 32, 4, 2, 64
+    hf_cfg = BertConfig(vocab_size=200, hidden_size=d, num_hidden_layers=layers,
+                        num_attention_heads=heads, intermediate_size=ff,
+                        max_position_embeddings=64,
+                        hidden_dropout_prob=0.0,
+                        attention_probs_dropout_prob=0.0)
+    torch.manual_seed(0)
+    hf = BertModel(hf_cfg, add_pooling_layer=False).eval()
+
+    enc = DocEncoder(vocab_size=200, d_model=d, num_layers=layers,
+                     num_heads=heads, d_ff=ff, max_position=64,
+                     dropout_rate=0.0)
+    rng = np.random.default_rng(1)
+    ids = rng.integers(2, 200, size=(2, 10)).astype(np.int64)
+    mask = np.ones((2, 10), np.int64)
+    mask[0, 7:] = 0
+
+    params = enc.init(jax.random.PRNGKey(0), jnp.asarray(ids, jnp.int32),
+                      jnp.asarray(mask, jnp.int32))
+    loaded = load_bert_encoder(params, hf.state_dict(), layers, heads)
+
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids),
+                 attention_mask=torch.tensor(mask)
+                 ).last_hidden_state.numpy()[:, 0]   # CLS
+
+    got = np.asarray(enc.apply(
+        jax.tree_util.tree_map(jnp.asarray, loaded),
+        jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32)))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
