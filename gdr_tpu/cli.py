@@ -94,9 +94,11 @@ def cmd_index(args) -> None:
     from gdr_tpu.index.io import save_index
 
     titles, texts = _read_corpus_tsv(args.corpus)
-    tok = load_tokenizer(args.doc_tokenizer, vocab_size=2048)
-    ids, mask = tok.encode_batch(texts, args.encoder_max_len)
     enc = _doc_encoder(args)
+    # tokenizer ids MUST stay inside the encoder's embedding table: an
+    # out-of-bounds jnp.take fills NaN and silently poisons the whole store
+    tok = load_tokenizer(args.doc_tokenizer, vocab_size=enc.vocab_size)
+    ids, mask = tok.encode_batch(texts, args.encoder_max_len)
     params = enc.init(jax.random.PRNGKey(args.seed), ids[:2], mask[:2])
     if args.encoder_ckpt:
         params = _load_msgpack(args.encoder_ckpt, params)
@@ -188,9 +190,9 @@ def cmd_expand(args) -> None:
 
     index = load_index(args.index)
     titles, texts = _read_corpus_tsv(args.corpus)
-    tok = load_tokenizer(args.doc_tokenizer, vocab_size=2048)
-    ids, mask = tok.encode_batch(texts, args.encoder_max_len)
     enc = _doc_encoder(args)
+    tok = load_tokenizer(args.doc_tokenizer, vocab_size=enc.vocab_size)
+    ids, mask = tok.encode_batch(texts, args.encoder_max_len)
     params = enc.init(jax.random.PRNGKey(args.seed), ids[:2], mask[:2])
     if args.encoder_ckpt:
         params = _load_msgpack(args.encoder_ckpt, params)

@@ -57,6 +57,12 @@ def embed_corpus(doc_encoder, params, token_ids: np.ndarray,
         emb = np.asarray(encode(params, jnp.asarray(ids), jnp.asarray(msk)))
         chunks.append(emb[: end - start])
     out = np.concatenate(chunks) if chunks else out
+    if not np.isfinite(out).all():
+        bad = np.flatnonzero(~np.isfinite(out).all(axis=1))
+        raise ValueError(
+            f"doc encoder produced non-finite embeddings for {len(bad)} "
+            f"docs (first: {bad[:5].tolist()}) — check that tokenizer ids "
+            f"fit the encoder vocab and checkpoint weights are sane")
     if normalize:
         out = out / np.maximum(np.linalg.norm(out, axis=1, keepdims=True),
                                1e-9)

@@ -204,6 +204,12 @@ def beam_search(step_fn: StepFn, cache: dict, batch: int, num_beams: int,
 
     pos0 = 0
     if progressive:
+        # warmup must reach full width within max_len-1 steps, else the
+        # full-width loop below sees a short carry and fails at trace time
+        if num_beams > (kary + 1) ** max(max_len - 1, 0):
+            raise ValueError(
+                f"progressive=True needs num_beams <= (kary+1)**(max_len-1) "
+                f"= {(kary + 1) ** max(max_len - 1, 0)}, got {num_beams}")
         widths = warmup_widths(num_beams, kary, max_len)
         for pos, w in enumerate(widths):
             out_w = min(w * (kary + 1), num_beams)

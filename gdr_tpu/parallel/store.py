@@ -64,6 +64,11 @@ def sharded_rerank(mesh: Mesh, store: Array, query_emb: Array, docs: Array,
     rows = store.shape[0] // n_shards
     a = alphas.shape[0]
     b, k, cap = docs.shape
+    if query_emb.ndim == 2:
+        # [B, d] (encoder query rep) → per-beam [B, K, d], matching the
+        # decoder_avg/special eval modes that supply one rep per beam.
+        query_emb = jnp.broadcast_to(query_emb[:, None, :],
+                                     (b, k, query_emb.shape[-1]))
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(axes), P(), P(), P(), P(), P()),
@@ -76,7 +81,7 @@ def sharded_rerank(mesh: Mesh, store: Array, query_emb: Array, docs: Array,
         owned = mask & (local >= 0) & (local < rows)
         local = jnp.clip(local, 0, rows - 1)
         emb = store_local[local.reshape(b, -1)].reshape(b, k, cap, -1)
-        sim = fn(jnp.einsum("bd,bkcd->bkc", q.astype(jnp.float32),
+        sim = fn(jnp.einsum("bkd,bkcd->bkc", q.astype(jnp.float32),
                             emb.astype(jnp.float32)))
         fused = sim[None] + alphas[:, None, None, None] * probs[None, :, :, None]
         fused = jnp.where(owned[None], fused, NEG_INF)

@@ -33,6 +33,19 @@ class CheckpointManager:
         import os
         self.mgr = ocp.CheckpointManager(os.path.abspath(directory),
                                          options=options)
+        # Preemption saves go to a sibling manager with plain latest-1
+        # retention: saving them through the best-k manager would score
+        # them -inf on the monitored metric and GC them immediately.
+        self._preempt_dir = os.path.abspath(directory) + "_preempt"
+        self._preempt: Optional[ocp.CheckpointManager] = None
+
+    def _preempt_mgr(self) -> ocp.CheckpointManager:
+        if self._preempt is None:
+            self._preempt = ocp.CheckpointManager(
+                self._preempt_dir,
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=1, enable_async_checkpointing=False))
+        return self._preempt
 
     @classmethod
     def from_config(cls, cfg: TrainConfig, directory: str | None = None
@@ -46,8 +59,23 @@ class CheckpointManager:
                       metrics={k: float(v) for k, v in metrics.items()})
         self.mgr.wait_until_finished()
 
+    def save_preemption(self, step: int, state: Any) -> None:
+        """Persist a resume point outside the best-k retention policy."""
+        mgr = self._preempt_mgr()
+        mgr.save(step, args=ocp.args.StandardSave(state))
+        mgr.wait_until_finished()
+
     def restore_latest(self, template: Any) -> tuple[Optional[int], Any]:
         step = self.mgr.latest_step()
+        import os
+        p_step = (self._preempt_mgr().latest_step()
+                  if os.path.isdir(self._preempt_dir) else None)
+        # Prefer the preemption point only when it is strictly newer: a
+        # regular checkpoint at the same step was written later in the
+        # epoch (post-eval) than a mid-epoch preemption save.
+        if p_step is not None and (step is None or p_step > step):
+            return p_step, self._preempt_mgr().restore(
+                p_step, args=ocp.args.StandardRestore(template))
         if step is None:
             return None, template
         return step, self.mgr.restore(
@@ -72,3 +100,5 @@ class CheckpointManager:
 
     def close(self) -> None:
         self.mgr.close()
+        if self._preempt is not None:
+            self._preempt.close()

@@ -129,14 +129,22 @@ class TrainLoop:
                 self.state, m = step_fn(self.state, batch, self.store,
                                         step_rng)
                 global_step += 1
-                losses.append(float(m["loss"]))
+                loss = float(m["loss"])
+                if not np.isfinite(loss):
+                    raise FloatingPointError(
+                        f"non-finite loss at step {global_step} "
+                        f"(epoch {epoch}): "
+                        f"{ {k: float(v) for k, v in m.items()} } — "
+                        "check store embeddings / learning rates")
+                losses.append(loss)
                 if global_step % cfg.log_every_steps == 0:
                     self.logger.log({k: float(v) for k, v in m.items()},
                                     global_step)
                 if guard.should_stop:
                     # preempted: persist a resume point and exit cleanly
-                    self.ckpt.save(epoch, self.state,
-                                   {"preempted": 1.0, "epoch": float(epoch)})
+                    # (separate retention from the best-k policy so the
+                    # resume point survives best-checkpoint GC)
+                    self.ckpt.save_preemption(epoch, self.state)
                     self.logger.log({"preempted": 1}, global_step)
                     self.logger.close()
                     return best

@@ -90,11 +90,8 @@ def build_optimizer(cfg: TrainConfig, gen_params: Any, enc_params: Any | None,
     def adamw(peak, decay):
         sched = (_linear if cfg.scheduler == "linear" else _exp)(
             cfg, total_steps, peak)
-        return optax.chain(
-            optax.clip_by_global_norm(cfg.max_grad_norm),
-            optax.adamw(learning_rate=sched, eps=cfg.adam_epsilon,
-                        weight_decay=decay),
-        )
+        return optax.adamw(learning_rate=sched, eps=cfg.adam_epsilon,
+                           weight_decay=decay)
 
     transforms = {
         "enc_wd": adamw(cfg.learning_rate, cfg.weight_decay),
@@ -104,7 +101,11 @@ def build_optimizer(cfg: TrainConfig, gen_params: Any, enc_params: Any | None,
         "doc_wd": adamw(cfg.doc_encoder_learning_rate, cfg.weight_decay),
         "doc_nd": adamw(cfg.doc_encoder_learning_rate, 0.0),
     }
-    opt = optax.multi_transform(transforms, labels)
+    # One global-norm clip over ALL parameters, before the per-group
+    # transforms — matching Lightning's gradient_clip_val semantics
+    # (a single global norm), not a per-group clip.
+    opt = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
+                      optax.multi_transform(transforms, labels))
     if cfg.gradient_accumulation_steps > 1:
         # ref derives grad-accum as 8/n_gpu (main.py:410); here any factor
         opt = optax.MultiSteps(opt, cfg.gradient_accumulation_steps)

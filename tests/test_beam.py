@@ -202,3 +202,16 @@ def test_progressive_with_scan_tail(toy):
                                   np.asarray(b.sequences))
     np.testing.assert_allclose(np.asarray(a.scores), np.asarray(b.scores),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_progressive_width_guard():
+    """ADVICE round 1: num_beams > (kary+1)**(max_len-1) cannot reach full
+    width during warmup -> must fail eagerly with a clear error."""
+    import pytest
+    from gdr_tpu.ops.beam import beam_search
+
+    with pytest.raises(ValueError, match="progressive"):
+        beam_search(lambda tok, cache, pos, w: (None, cache), {},
+                    batch=1, num_beams=64, kary=2, max_len=3,
+                    children=jnp.zeros((1, 2), jnp.int32),
+                    eos_allowed=jnp.zeros((1,), bool), progressive=True)

@@ -38,3 +38,33 @@ def test_restore_empty(tmp_path):
     assert step is None
     np.testing.assert_allclose(np.asarray(restored["params"]["w"]), 9.0)
     mgr.close()
+
+
+def test_preemption_save_survives_best_k_gc(tmp_path):
+    """ADVICE round 1: a preemption save routed through the best-k manager
+    scores -inf on the monitored metric and is GC'd immediately; the
+    dedicated save_preemption path must survive and win restore_latest."""
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), monitor="recall1",
+                            mode="max", save_top_k=1)
+    mgr.save(1, _state(1.0), {"recall1": 0.9})     # best checkpoint
+    mgr.save_preemption(3, _state(3.0))            # mid-epoch preemption
+    step, restored = mgr.restore_latest(_state(0.0))
+    assert step == 3
+    np.testing.assert_allclose(np.asarray(restored["params"]["w"]), 3.0)
+    # best checkpoint is untouched
+    step, best = mgr.restore_best(_state(0.0))
+    assert step == 1
+    mgr.close()
+
+
+def test_preemption_tie_prefers_regular(tmp_path):
+    """Same step number: the regular (post-eval) checkpoint was written
+    later in the epoch than the mid-epoch preemption point."""
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), monitor="recall1",
+                            mode="max", save_top_k=1)
+    mgr.save_preemption(2, _state(20.0))
+    mgr.save(2, _state(2.0), {"recall1": 0.9})
+    step, restored = mgr.restore_latest(_state(0.0))
+    assert step == 2
+    np.testing.assert_allclose(np.asarray(restored["params"]["w"]), 2.0)
+    mgr.close()

@@ -43,6 +43,8 @@ def test_cli_index_train_eval_expand(world, capsys):
     out = capsys.readouterr().out
     assert "18 docs" in out
     assert os.path.exists(tmp / "index.npz")
+    from gdr_tpu.index.io import load_index
+    assert np.isfinite(load_index(str(tmp / "index.npz")).store).all()
 
     cli.main(["train", "--index", str(tmp / "index.npz"),
               "--train", str(tmp / "train.tsv"), "--dev", str(tmp / "dev.tsv"),
@@ -51,6 +53,10 @@ def test_cli_index_train_eval_expand(world, capsys):
               "--max-input-length", "12", "--batch-size", "6",
               "--epochs", "1", "--beam", "4", "--adaptor-layers", "1"])
     assert os.path.exists(tmp / "run" / "ckpt")
+    with open(tmp / "run" / "train.metrics.jsonl") as fh:
+        rows = [json.loads(line) for line in fh]
+    losses = [r["avg_train_loss"] for r in rows if "avg_train_loss" in r]
+    assert losses and all(np.isfinite(v) for v in losses), losses
 
     cli.main(["eval", "--index", str(tmp / "index.npz"),
               "--dev", str(tmp / "dev.tsv"), "--workdir", str(tmp / "run"),

@@ -131,3 +131,40 @@ def test_mesh_evaluator_matches_single_device():
                                   np.asarray(rr2.doc_ids))
     np.testing.assert_allclose(np.asarray(rr1.scores),
                                np.asarray(rr2.scores), rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_rerank_per_beam_queries():
+    """ADVICE round 1 (medium): decoder_avg/special eval modes pass per-beam
+    query reps [B, K, d]; the sharded rerank must match the single-device
+    path for both ranks."""
+    rng = np.random.default_rng(13)
+    mesh = make_mesh(MeshConfig(dp=4, mp=2))
+    cid_to_docs = {"0": [0, 1, 2], "1": [3, 4], "2-0": [5, 6, 7, 8],
+                   "2-1": [9, 10, 11, 12, 13]}
+    trie = build_trie(cid_to_docs, kary=3, max_docs_per_cluster=8)
+    n, d = 14, 16
+    store = rng.normal(size=(n, d)).astype(np.float32)
+    q_beam = rng.normal(size=(2, 2, d)).astype(np.float32)   # [B, K, d]
+    nodes = np.asarray([
+        [trie.node_of_path([0]), trie.node_of_path([2, 0])],
+        [trie.node_of_path([1]), trie.node_of_path([2, 1])]])
+    beam_scores = np.asarray([[-0.2, -0.9], [-0.4, -0.1]], np.float32)
+    valid = np.ones((2, 2), bool)
+    alphas = np.asarray([0.0, 1.0], np.float32)
+
+    ref = rerank(jnp.asarray(store), jnp.asarray(q_beam), jnp.asarray(nodes),
+                 jnp.asarray(beam_scores), jnp.asarray(valid),
+                 jnp.asarray(trie.cluster_of_node),
+                 jnp.asarray(trie.cluster_docs),
+                 jnp.asarray(trie.cluster_doc_mask),
+                 jnp.asarray(alphas), top_r=4)
+    store_sharded = place_store(store, mesh)
+    got = sharded_rerank_from_beams(
+        mesh, store_sharded, jnp.asarray(q_beam), jnp.asarray(nodes),
+        jnp.asarray(beam_scores), jnp.asarray(valid),
+        jnp.asarray(trie.cluster_of_node), jnp.asarray(trie.cluster_docs),
+        jnp.asarray(trie.cluster_doc_mask), jnp.asarray(alphas), top_r=4)
+    np.testing.assert_array_equal(np.asarray(got.doc_ids),
+                                  np.asarray(ref.doc_ids))
+    np.testing.assert_allclose(np.asarray(got.scores),
+                               np.asarray(ref.scores), rtol=1e-5, atol=1e-5)
