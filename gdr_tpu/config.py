@@ -51,6 +51,10 @@ class ModelConfig:
                                      # (full [d,d] transform per prefix)
     adaptor_layer_num: int = 4
     adaptor_num_heads: int = 8
+    # 0 → min(4·d_model, 2048); the reference constructs its adaptor with
+    # torch's nn.TransformerDecoderLayer defaults, i.e. dim_feedforward=2048
+    # regardless of d_model (modeling_t5.py:1240) — identical at d_model=768
+    adaptor_d_ff: int = 0
 
     # --- regularisation ------------------------------------------------------
     rdrop: float = 0.1               # R-Drop weight (ref `--Rdrop`)

@@ -153,6 +153,116 @@ def load_bert_encoder(params: dict, state_dict: Mapping[str, Any],
     return tree
 
 
+def load_gdr_reference(params: dict, state_dict: Mapping[str, Any],
+                       num_layers: int, num_decoder_layers: int,
+                       adaptor_layers: int, adaptor_heads: int = 8) -> dict:
+    """Copy the reference fork's FULL custom model (encoder + decoder +
+    decode embeddings + lm head + efficient-PAWA adaptor) into a
+    ``GenerativeRetriever`` parameter tree.
+
+    Source naming is the vendored fork's ``T5ForConditionalGeneration``
+    (reference modeling_t5.py:1153-1301): stock T5 stacks, a separate
+    ``decode_embeddings`` table, an untied ``lm_head`` and the efficient
+    adaptor built from ``nn.TransformerDecoderLayer`` (:1236-1244).
+
+    Torch-vs-flax convention handling:
+      - Dense kernels transpose ([out, in] → [in, out]).
+      - torch MultiheadAttention scales q by head_dim**-0.5 after the
+        projection; folded into the q kernel here (our Attention is
+        unscaled, T5-style).
+      - torch biases on the adaptor's attention/FF projections have no
+        counterpart (our adaptor is biasless by design) — they must be zero
+        in the source model; asserted.
+      - ``adaptor_linear.weight`` [d·V, d] (out index o = i·V + v) becomes
+        our U [d_j, V, d_i]: ``W.reshape(d, V, d).transpose(2, 1, 0)``.
+    """
+    import jax
+
+    tree = jax.tree_util.tree_map(np.asarray, params)
+    inner = tree["params"]
+
+    # --- encoder + shared (same mapping as the stock HF loader) -------------
+    for hf_name, path in hf_encoder_mapping(num_layers).items():
+        val = _np(state_dict[hf_name])
+        if path[-1] == "kernel":
+            val = val.T
+        _set(inner, path, val)
+
+    # --- decoder stack -------------------------------------------------------
+    _set(inner, ["decoder", "final_norm", "scale"],
+         _np(state_dict["decoder.final_layer_norm.weight"]))
+    _set(inner, ["decoder", "rel_bias", "rel_embedding"],
+         _np(state_dict[
+             "decoder.block.0.layer.0.SelfAttention."
+             "relative_attention_bias.weight"]))
+    # HF-3.4 T5 also has a cross-attention rel bias shared from layer 0
+    _set(inner, ["decoder", "cross_rel_bias", "rel_embedding"],
+         _np(state_dict[
+             "decoder.block.0.layer.1.EncDecAttention."
+             "relative_attention_bias.weight"]))
+    for i in range(num_decoder_layers):
+        hf = f"decoder.block.{i}.layer"
+        my = f"block_{i}"
+        for proj in ("q", "k", "v", "o"):
+            _set(inner, ["decoder", my, "self_attn", proj, "kernel"],
+                 _np(state_dict[f"{hf}.0.SelfAttention.{proj}.weight"]).T)
+            _set(inner, ["decoder", my, "cross_attn", proj, "kernel"],
+                 _np(state_dict[f"{hf}.1.EncDecAttention.{proj}.weight"]).T)
+        _set(inner, ["decoder", my, "ln1", "scale"],
+             _np(state_dict[f"{hf}.0.layer_norm.weight"]))
+        _set(inner, ["decoder", my, "ln2", "scale"],
+             _np(state_dict[f"{hf}.1.layer_norm.weight"]))
+        _set(inner, ["decoder", my, "ff", "wi", "kernel"],
+             _np(state_dict[f"{hf}.2.DenseReluDense.wi.weight"]).T)
+        _set(inner, ["decoder", my, "ff", "wo", "kernel"],
+             _np(state_dict[f"{hf}.2.DenseReluDense.wo.weight"]).T)
+        _set(inner, ["decoder", my, "ln3", "scale"],
+             _np(state_dict[f"{hf}.2.layer_norm.weight"]))
+
+    # --- decode embeddings + lm head ------------------------------------------
+    _set(inner, ["decode_embed", "embedding"],
+         _np(state_dict["decode_embeddings.weight"]))
+    if "lm_head" in inner:
+        _set(inner, ["lm_head"], _np(state_dict["lm_head.weight"]).T)
+
+    # --- efficient PAWA adaptor ------------------------------------------------
+    if "pawa" in inner:
+        d = _np(state_dict["adaptor_embeddings"]).shape[-1]
+        head_dim = d // adaptor_heads
+        scale = head_dim ** -0.5
+        _set(inner, ["pawa", "memory"], _np(state_dict["adaptor_embeddings"]))
+        for i in range(adaptor_layers):
+            hf = f"adaptor.layers.{i}"
+            my = ["pawa", f"layer_{i}"]
+            for attn_hf, attn_my in (("self_attn", "self_attn"),
+                                     ("multihead_attn", "cross_attn")):
+                w = _np(state_dict[f"{hf}.{attn_hf}.in_proj_weight"])
+                bias = state_dict.get(f"{hf}.{attn_hf}.in_proj_bias")
+                if bias is not None:
+                    assert not _np(bias).any(), (
+                        "adaptor attention biases must be zero: the gdr_tpu "
+                        "adaptor is biasless (T5-style)")
+                wq, wk, wv = w[:d], w[d:2 * d], w[2 * d:]
+                _set(inner, my + [attn_my, "q", "kernel"], (wq * scale).T)
+                _set(inner, my + [attn_my, "k", "kernel"], wk.T)
+                _set(inner, my + [attn_my, "v", "kernel"], wv.T)
+                _set(inner, my + [attn_my, "o", "kernel"],
+                     _np(state_dict[f"{hf}.{attn_hf}.out_proj.weight"]).T)
+            _set(inner, my + ["ff1", "kernel"],
+                 _np(state_dict[f"{hf}.linear1.weight"]).T)
+            _set(inner, my + ["ff2", "kernel"],
+                 _np(state_dict[f"{hf}.linear2.weight"]).T)
+            for n in (1, 2, 3):
+                _set(inner, my + [f"ln{n}", "scale"],
+                     _np(state_dict[f"{hf}.norm{n}.weight"]))
+                _set(inner, my + [f"ln{n}", "bias"],
+                     _np(state_dict[f"{hf}.norm{n}.bias"]))
+        w = _np(state_dict["adaptor_linear.weight"])           # [d*V, d]
+        v = w.shape[0] // d
+        _set(inner, ["pawa", "u"], w.reshape(d, v, d).transpose(2, 1, 0))
+    return tree
+
+
 def state_dict_from_pretrained(path: str) -> Mapping[str, Any]:
     """Load a local HF T5 checkpoint's state dict (no network)."""
     from transformers import T5ForConditionalGeneration

@@ -77,7 +77,8 @@ class GenerativeRetriever(nn.Module):
             self.pawa = pawa_cls(
                 d_model=c.d_model, decode_vocab_size=c.decode_vocab_size,
                 num_layers=c.adaptor_layer_num, num_heads=c.adaptor_num_heads,
-                dropout_rate=c.dropout_rate, dtype=self.dtype, name="pawa")
+                d_ff=c.adaptor_d_ff, dropout_rate=c.dropout_rate,
+                dtype=self.dtype, name="pawa")
         if c.denoising:
             # mask-position discrimination head; the reconstruction head is
             # tied to the shared embedding (ref modeling_t5.py:1261-1264)

@@ -50,9 +50,11 @@ class PawaLayer(nn.Module):
                                    self.dropout_rate, self.dtype)
         self.cross_attn = Attention(self.d_model, self.num_heads, d_kv,
                                     self.dropout_rate, self.dtype)
-        self.ln1 = nn.LayerNorm(dtype=self.dtype)
-        self.ln2 = nn.LayerNorm(dtype=self.dtype)
-        self.ln3 = nn.LayerNorm(dtype=self.dtype)
+        # eps matches torch nn.TransformerDecoderLayer's LayerNorm default
+        # (1e-5) — the reference's adaptor normalisation (modeling_t5.py:1240)
+        self.ln1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.ln2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.ln3 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.ff1 = nn.Dense(self.d_ff, use_bias=False, dtype=self.dtype,
                             kernel_init=nn.initializers.normal(0.02))
         self.ff2 = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,

@@ -153,16 +153,21 @@ class Attention(nn.Module):
         return self._split(self.k(kv_src)), self._split(self.v(kv_src))
 
     def cross_decode_grouped(self, x_t: Array, k: Array, v: Array,
-                             key_mask: Array, num_beams: int) -> Array:
+                             key_mask: Array, num_beams: int,
+                             bias_row: Optional[Array] = None) -> Array:
         """Beam-grouped cross-attention: queries [B·K, 1, d] attend to
         *per-query* K/V [B, H, S, dk] — encoder projections are computed and
         stored once per query instead of duplicated per beam (K× less HBM
-        traffic and projection FLOPs at beam 100)."""
+        traffic and projection FLOPs at beam 100).
+        ``bias_row``: [1, H, 1, S] relative bias for this decode position."""
         b = k.shape[0]
         q = self._split(self.q(x_t))                       # [B*K, H, 1, dk]
         q = q.reshape(b, num_beams, self.num_heads, self.d_kv)
         scores = jnp.einsum("bkhd,bhsd->bkhs", q, k,
                             preferred_element_type=jnp.float32)
+        if bias_row is not None:
+            # [1, H, 1, S] → [1, 1, H, S]
+            scores = scores + bias_row[:, :, 0][:, None].astype(jnp.float32)
         scores = jnp.where(key_mask[:, None, None, :].astype(bool),
                            scores, NEG_INF)
         probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
@@ -263,12 +268,13 @@ class DecoderBlock(nn.Module):
 
     def __call__(self, x: Array, enc: Array, self_mask: Optional[Array],
                  cross_mask: Optional[Array], bias: Optional[Array],
+                 cross_bias: Optional[Array] = None,
                  deterministic: bool = True) -> Array:
         h = self.self_attn(self.ln1(x), mask=self_mask, bias=bias,
                            deterministic=deterministic)
         x = x + self.drop(h, deterministic=deterministic)
         h = self.cross_attn(self.ln2(x), kv=enc, mask=cross_mask,
-                            deterministic=deterministic)
+                            bias=cross_bias, deterministic=deterministic)
         x = x + self.drop(h, deterministic=deterministic)
         h = self.ff(self.ln3(x), deterministic=deterministic)
         return x + self.drop(h, deterministic=deterministic)
@@ -276,13 +282,16 @@ class DecoderBlock(nn.Module):
     def decode_step(self, x_t: Array, self_k: Array, self_v: Array,
                     cross_k: Array, cross_v: Array, enc_mask: Array,
                     pos: Array, bias_row: Optional[Array],
-                    num_beams: int = 1) -> tuple[Array, Array, Array]:
+                    num_beams: int = 1,
+                    cross_bias_row: Optional[Array] = None
+                    ) -> tuple[Array, Array, Array]:
         h, self_k, self_v = self.self_attn.decode_step(
             self.ln1(x_t), self_k, self_v, pos, bias_row=bias_row,
             update_cache=True)
         x_t = x_t + h
         h = self.cross_attn.cross_decode_grouped(
-            self.ln2(x_t), cross_k, cross_v, enc_mask, num_beams)
+            self.ln2(x_t), cross_k, cross_v, enc_mask, num_beams,
+            bias_row=cross_bias_row)
         x_t = x_t + h
         h = self.ff(self.ln3(x_t), deterministic=True)
         return x_t + h, self_k, self_v
@@ -349,7 +358,17 @@ class Decoder(nn.Module):
             self.num_heads, self.relative_attention_num_buckets,
             self.relative_attention_max_distance, bidirectional=False,
             dtype=self.dtype)
-        block_cls = (nn.remat(DecoderBlock, static_argnums=(5,))
+        # HF-3.4-era T5 (the reference's vendored fork) also gives the
+        # cross-attention a relative position bias, shared from layer 0
+        # (decoder.block.0.layer.1.EncDecAttention.relative_attention_bias)
+        # — removed in modern T5 but part of the model the reference trains.
+        # The fork constructs it bidirectional (T5LayerCrossAttention passes
+        # is_bidirectional=True, modeling_t5.py:464).
+        self.cross_rel_bias = RelativePositionBias(
+            self.num_heads, self.relative_attention_num_buckets,
+            self.relative_attention_max_distance, bidirectional=True,
+            dtype=self.dtype)
+        block_cls = (nn.remat(DecoderBlock, static_argnums=(6,))
                      if self.remat else DecoderBlock)
         self.blocks = [
             block_cls(self.d_model, self.num_heads, self.d_kv, self.d_ff,
@@ -369,12 +388,13 @@ class Decoder(nn.Module):
         """
         l = x.shape[1]
         bias = self.rel_bias(l, l)
+        cross_bias = self.cross_rel_bias(l, enc.shape[1])
         causal = jnp.tril(jnp.ones((l, l), dtype=bool))
         self_mask = causal[None, None] & self_attn_mask[:, None, None, :].astype(bool)
         cross_mask = enc_mask[:, None, None, :].astype(bool)
         x = self.drop(x, deterministic=deterministic)
         for blk in self.blocks:
-            x = blk(x, enc, self_mask, cross_mask, bias,
+            x = blk(x, enc, self_mask, cross_mask, bias, cross_bias,
                     deterministic=deterministic)
         return self.drop(self.final_norm(x), deterministic=deterministic)
 
@@ -409,12 +429,14 @@ class Decoder(nn.Module):
         enc_mask: [B, S] (per query, un-expanded)."""
         lmax = cache["self_k_0"].shape[2]
         bias_row = self.rel_bias(1, lmax, q_offset=pos)    # [1, H, 1, Lmax]
+        cross_bias_row = self.cross_rel_bias(
+            1, cache["cross_k_0"].shape[2], q_offset=pos)  # [1, H, 1, S]
         cache = dict(cache)
         for i, blk in enumerate(self.blocks):
             x_t, sk, sv = blk.decode_step(
                 x_t, cache[f"self_k_{i}"], cache[f"self_v_{i}"],
                 cache[f"cross_k_{i}"], cache[f"cross_v_{i}"], enc_mask,
-                pos, bias_row, num_beams)
+                pos, bias_row, num_beams, cross_bias_row)
             cache[f"self_k_{i}"] = sk
             cache[f"self_v_{i}"] = sv
         return self.final_norm(x_t), cache
