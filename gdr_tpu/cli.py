@@ -93,11 +93,16 @@ def cmd_index(args) -> None:
     from gdr_tpu.index.builder import build_index
     from gdr_tpu.index.io import save_index
 
+    import dataclasses
+
     titles, texts = _read_corpus_tsv(args.corpus)
     enc = _doc_encoder(args)
     # tokenizer ids MUST stay inside the encoder's embedding table: an
     # out-of-bounds jnp.take fills NaN and silently poisons the whole store
     tok = load_tokenizer(args.doc_tokenizer, vocab_size=enc.vocab_size)
+    if tok.vocab_size != enc.vocab_size:
+        # a trained subword vocab sizes the tower's embedding table
+        enc = dataclasses.replace(enc, vocab_size=tok.vocab_size)
     ids, mask = tok.encode_batch(texts, args.encoder_max_len)
     params = enc.init(jax.random.PRNGKey(args.seed), ids[:2], mask[:2])
     if args.encoder_ckpt:
@@ -120,20 +125,28 @@ def cmd_train(args) -> None:
     from gdr_tpu.index.io import load_index
     from gdr_tpu.train.loop import TrainLoop
 
+    import dataclasses
+
     index = load_index(args.index)
     mcfg = _model_config(args, store_dim=index.store.shape[1])
+    tok = load_tokenizer(args.tokenizer, vocab_size=mcfg.vocab_size)
+    if tok.vocab_size != mcfg.vocab_size:
+        mcfg = dataclasses.replace(mcfg, vocab_size=tok.vocab_size)
     tcfg = TrainConfig(train_batch_size=args.batch_size,
                        num_train_epochs=args.epochs,
                        train_encoder_epoch=args.train_encoder_epoch,
                        learning_rate=args.lr,
                        decoder_learning_rate=args.decoder_lr,
                        checkpoint_dir=f"{args.workdir}/ckpt")
-    cfg = GDRConfig(model=mcfg, train=tcfg,
+    from gdr_tpu.config import DataConfig
+    dcfg = DataConfig(hard_negative=args.hard_negatives != "none",
+                      sample_neg_num=(args.sample_neg_num
+                                      if args.hard_negatives != "none" else 0))
+    cfg = GDRConfig(model=mcfg, train=tcfg, data=dcfg,
                     eval=EvalConfig(num_beams=args.beam,
                                     num_return_sequences=args.beam,
                                     max_output_length=mcfg.max_output_length))
 
-    tok = load_tokenizer(args.tokenizer, vocab_size=mcfg.vocab_size)
     queries, positives = _read_query_tsv(args.train)
     train_set = build_train_set(
         queries, [p[0] for p in positives], index.paths, tok, mcfg,
@@ -141,6 +154,20 @@ def cmd_train(args) -> None:
     dev_q, dev_pos = _read_query_tsv(args.dev)
     dev = build_eval_data(dev_q, dev_pos, index.cid_of_doc, tok,
                           args.max_input_length)
+
+    if args.hard_negatives == "bm25":
+        # mining needs the document text (ref bm25_preprocess.py:42-61)
+        from gdr_tpu.data.negatives import bm25_negatives
+        assert args.corpus, "--hard-negatives bm25 requires --corpus"
+        _, doc_texts = _read_corpus_tsv(args.corpus)
+        train_set.neg_pool = bm25_negatives(
+            queries, positives, doc_texts,
+            k=max(args.sample_neg_num * 3, 10))
+    elif args.hard_negatives == "random":
+        from gdr_tpu.data.negatives import random_negatives
+        train_set.neg_pool = random_negatives(
+            len(queries), len(index.paths), positives,
+            k=max(args.sample_neg_num * 3, 10), seed=args.seed)
 
     loop = TrainLoop(cfg, index, train_set, dev,
                      workdir=args.workdir, seed=args.seed)
@@ -158,8 +185,13 @@ def cmd_eval(args) -> None:
     from gdr_tpu.models.gdr import GenerativeRetriever, init_params
     from gdr_tpu.train.checkpoint import CheckpointManager
 
+    import dataclasses
+
     index = load_index(args.index)
     mcfg = _model_config(args, store_dim=index.store.shape[1])
+    tok = load_tokenizer(args.tokenizer, vocab_size=mcfg.vocab_size)
+    if tok.vocab_size != mcfg.vocab_size:
+        mcfg = dataclasses.replace(mcfg, vocab_size=tok.vocab_size)
     model = GenerativeRetriever(mcfg)
     params = init_params(model, jax.random.PRNGKey(args.seed),
                          input_len=args.max_input_length)
@@ -169,7 +201,6 @@ def cmd_eval(args) -> None:
         params = raw["params"]["generator"]
         print(f"restored checkpoint step {step}")
 
-    tok = load_tokenizer(args.tokenizer, vocab_size=mcfg.vocab_size)
     dev_q, dev_pos = _read_query_tsv(args.dev)
     dev = build_eval_data(dev_q, dev_pos, index.cid_of_doc, tok,
                           args.max_input_length)
@@ -205,6 +236,21 @@ def cmd_expand(args) -> None:
 def cmd_calculate(args) -> None:
     from gdr_tpu.eval.offline import calculate
     print(json.dumps(calculate(args.result), indent=2, sort_keys=True))
+
+
+def cmd_tokenizer(args) -> None:
+    """Train a subword tokenizer over a corpus (offline; replaces the
+    reference's external sentencepiece/WordPiece vocab files)."""
+    from gdr_tpu.data.subword import train_unigram, train_wordpiece
+
+    # train over every text column (docs.tsv: title+content; train.tsv:
+    # the query column — numeric docid columns contribute ~nothing)
+    titles, texts = _read_corpus_tsv(args.corpus)
+    train = train_unigram if args.type == "unigram" else train_wordpiece
+    tok = train(titles + texts, vocab_size=args.vocab_size, path=args.out)
+    ids, mask = tok.encode_batch(texts[:2], 16)
+    print(f"tokenizer: {args.type} vocab={tok.vocab_size} → {args.out} "
+          f"(smoke: {ids[0][:8].tolist()})")
 
 
 def _load_msgpack(path: str, template):
@@ -245,6 +291,13 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--decoder-lr", type=float, default=1e-4)
     pt.add_argument("--beam", type=int, default=100)
     pt.add_argument("--seed", type=int, default=42)
+    pt.add_argument("--hard-negatives", default="none",
+                    choices=["none", "bm25", "random"],
+                    help="mine per-query negatives and train the "
+                         "margin-ranking loss (ref --neg_sample_strategy)")
+    pt.add_argument("--sample-neg-num", type=int, default=2)
+    pt.add_argument("--corpus", default=None,
+                    help="docs TSV (needed for --hard-negatives bm25)")
     pt.set_defaults(fn=cmd_train)
 
     pe = sub.add_parser("eval", help="standalone evaluation")
@@ -277,6 +330,17 @@ def build_parser() -> argparse.ArgumentParser:
     pc = sub.add_parser("calculate", help="offline metrics from result TSV")
     pc.add_argument("--result", required=True)
     pc.set_defaults(fn=cmd_calculate)
+
+    pk = sub.add_parser("tokenizer",
+                        help="train a subword tokenizer over a corpus")
+    pk.add_argument("--corpus", required=True)
+    pk.add_argument("--out", required=True, help=".json output path")
+    pk.add_argument("--type", default="unigram",
+                    choices=["unigram", "wordpiece"],
+                    help="unigram = T5/sentencepiece-style (queries); "
+                         "wordpiece = BERT-style (documents)")
+    pk.add_argument("--vocab-size", type=int, default=32000)
+    pk.set_defaults(fn=cmd_tokenizer)
     return p
 
 

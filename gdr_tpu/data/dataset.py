@@ -37,6 +37,9 @@ class TrainSet:
     label_mask: np.ndarray   # [Q, L]
     pos_idx: np.ndarray      # [Q] positive doc index
     source: list[str]        # provenance tag per row (gtq/qg/doc/aug)
+    # per-row mined hard-negative doc pools (ref neg_bm25/neg_random pkls,
+    # bm25_preprocess.py:42-61); None → random sampling at batch time
+    neg_pool: list[list[int]] | None = None
 
     def __len__(self) -> int:
         return len(self.pos_idx)
@@ -44,6 +47,11 @@ class TrainSet:
     @staticmethod
     def concat(parts: Sequence["TrainSet"]) -> "TrainSet":
         parts = [p for p in parts if len(p)]
+        pools = None
+        if any(p.neg_pool is not None for p in parts):
+            pools = sum(((p.neg_pool if p.neg_pool is not None
+                          else [[] for _ in range(len(p))]) for p in parts),
+                        [])
         return TrainSet(
             input_ids=np.concatenate([p.input_ids for p in parts]),
             attn_mask=np.concatenate([p.attn_mask for p in parts]),
@@ -51,6 +59,7 @@ class TrainSet:
             label_mask=np.concatenate([p.label_mask for p in parts]),
             pos_idx=np.concatenate([p.pos_idx for p in parts]),
             source=sum((p.source for p in parts), []),
+            neg_pool=pools,
         )
 
 
@@ -109,14 +118,30 @@ class BatchIterator:
     def __init__(self, train_set: TrainSet,
                  cluster_docs_of: Sequence[Sequence[int]],
                  batch_size: int, max_intraclass: int, seed: int = 0,
-                 drop_last: bool = True):
-        """``cluster_docs_of[doc]``: doc indices sharing doc's cluster."""
+                 drop_last: bool = True, sample_neg_num: int = 0,
+                 doc_labels: np.ndarray | None = None,
+                 doc_label_mask: np.ndarray | None = None):
+        """``cluster_docs_of[doc]``: doc indices sharing doc's cluster.
+
+        ``sample_neg_num`` > 0 adds per-row hard-negative CID labels
+        (``neg_labels``/``neg_label_mask`` [B, N, L]) sampled from the
+        train set's mined pools (random docs when a row has no pool) —
+        ref l1_query hard_negative path, main_models.py:471-472,533-541.
+        ``doc_labels``/``doc_label_mask``: [D, L] CID label arrays for every
+        corpus doc (the encode of each doc's k-means path)."""
         self.ts = train_set
         self.cluster_docs_of = cluster_docs_of
         self.batch_size = batch_size
         self.c = max_intraclass + 1
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
+        self.sample_neg_num = sample_neg_num
+        self.doc_labels = doc_labels
+        self.doc_label_mask = doc_label_mask
+        if sample_neg_num > 0:
+            assert doc_labels is not None and doc_label_mask is not None, \
+                "sample_neg_num > 0 requires doc_labels/doc_label_mask"
+        self.num_docs = len(cluster_docs_of)
 
     def __iter__(self) -> Iterator[dict]:
         order = self.rng.permutation(len(self.ts))
@@ -140,7 +165,7 @@ class BatchIterator:
             chosen = others[: self.c - 1] + [pos]   # positive appended last
             cand_idx[row, :len(chosen)] = chosen
             cand_mask[row, :len(chosen)] = True
-        return {
+        batch = {
             "input_ids": ts.input_ids[idx],
             "attn_mask": ts.attn_mask[idx],
             "labels": ts.labels[idx],
@@ -149,6 +174,24 @@ class BatchIterator:
             "cand_idx": cand_idx,
             "cand_mask": cand_mask,
         }
+        if self.sample_neg_num > 0:
+            n = self.sample_neg_num
+            neg_docs = np.zeros((b, n), np.int32)
+            for row, i in enumerate(idx):
+                pool = (ts.neg_pool[i] if ts.neg_pool is not None else [])
+                pool = [d for d in pool if d != int(ts.pos_idx[i])]
+                if pool:
+                    neg_docs[row] = self.rng.choice(pool, n)
+                else:       # random fallback (ref random_preprocess.py)
+                    while True:
+                        cand = self.rng.integers(0, self.num_docs, n)
+                        if int(ts.pos_idx[i]) not in cand:
+                            break
+                    neg_docs[row] = cand
+            batch["neg_idx"] = neg_docs
+            batch["neg_labels"] = self.doc_labels[neg_docs]
+            batch["neg_label_mask"] = self.doc_label_mask[neg_docs]
+        return batch
 
 
 def build_eval_data(queries: Sequence[str],
@@ -187,6 +230,20 @@ def build_doc_query_sets(doc_texts: Sequence[str],
     aug_set = build_train_set(spans, src, doc_paths, tokenizer, mcfg,
                               dcfg.max_input_length, source="aug")
     return {"doc": doc_set, "aug": aug_set}
+
+
+def doc_label_arrays(doc_paths: Sequence[Sequence[int]], mcfg: ModelConfig
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Positional CID label arrays for every corpus document — the gather
+    source for hard-negative label batches."""
+    d = len(doc_paths)
+    labels = np.zeros((d, mcfg.max_output_length), np.int32)
+    mask = np.zeros((d, mcfg.max_output_length), np.int32)
+    for i, p in enumerate(doc_paths):
+        labels[i], mask[i] = digits_to_label(p, mcfg.kary,
+                                             mcfg.max_output_length,
+                                             mcfg.position)
+    return labels, mask
 
 
 def cluster_docs_lookup(cid_of_doc: Sequence[str]) -> list[list[int]]:

@@ -91,8 +91,19 @@ class HFTokenizer:
 
 
 def load_tokenizer(name_or_path: str | None, vocab_size: int = 32128):
-    """HF tokenizer when loadable, hashing fallback otherwise."""
+    """Resolve a tokenizer:
+
+    - a ``.json`` file → in-repo trained subword model
+      (gdr_tpu/data/subword.py — the reference's sentencepiece/WordPiece
+      capability, trainable offline);
+    - a directory / HF name → HuggingFace tokenizer (local files only);
+    - otherwise the deterministic hash fallback (hermetic).
+    """
     if name_or_path:
+        import os
+        if name_or_path.endswith(".json") and os.path.isfile(name_or_path):
+            from gdr_tpu.data.subword import SubwordTokenizer
+            return SubwordTokenizer(name_or_path)
         try:
             return HFTokenizer(name_or_path)
         except Exception:

@@ -66,6 +66,12 @@ class TrainLoop:
         self.lookup = cluster_docs_lookup(index.cid_of_doc)
         self.evaluator = Evaluator(self.model, index.trie, index.store,
                                    cfg.eval)
+        self._neg_kwargs: dict = {}
+        if cfg.data.hard_negative and cfg.data.sample_neg_num > 0:
+            from gdr_tpu.data.dataset import doc_label_arrays
+            dl, dm = doc_label_arrays(index.paths, cfg.model)
+            self._neg_kwargs = dict(sample_neg_num=cfg.data.sample_neg_num,
+                                    doc_labels=dl, doc_label_mask=dm)
         self.ckpt = CheckpointManager.from_config(cfg.train,
                                                   f"{workdir}/ckpt")
         self.logger = MetricLogger(workdir, run_name="train")
@@ -118,10 +124,11 @@ class TrainLoop:
                    else cfg.train_batch_size)
             it = BatchIterator(self.train_set, self.lookup, bsz,
                                self.cfg.data.max_intraclass_num,
-                               seed=epoch)
+                               seed=epoch, **self._neg_kwargs)
             step_fn = self._step_fn(stage)
             t0 = time.perf_counter()
             losses = []
+            rank_losses = []
             for batch in it:
                 if stage2:
                     batch = self._augment_stage2(batch)
@@ -137,6 +144,8 @@ class TrainLoop:
                         f"{ {k: float(v) for k, v in m.items()} } — "
                         "check store embeddings / learning rates")
                 losses.append(loss)
+                if "ranking_loss" in m:
+                    rank_losses.append(float(m["ranking_loss"]))
                 if global_step % cfg.log_every_steps == 0:
                     self.logger.log({k: float(v) for k, v in m.items()},
                                     global_step)
@@ -151,6 +160,8 @@ class TrainLoop:
             metrics = {"epoch": epoch, "stage": stage,
                        "avg_train_loss": float(np.mean(losses)) if losses else 0.0,
                        "epoch_seconds": time.perf_counter() - t0}
+            if rank_losses:
+                metrics["avg_ranking_loss"] = float(np.mean(rank_losses))
             if (epoch + 1) % self.eval_every == 0:
                 if stage2:
                     # stage 2 trains the doc tower live: refresh the store so

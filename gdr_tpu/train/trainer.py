@@ -124,8 +124,39 @@ def make_train_step(model: GenerativeRetriever, doc_encoder,
             contrast = jnp.zeros(())
 
         total = nci_loss + contrast
-        return total, {"loss": total, "nci_loss": nci_loss, "ce": ce,
-                       "rdrop": rdrop, "contrast_loss": contrast}
+        metrics = {"nci_loss": nci_loss, "ce": ce, "rdrop": rdrop,
+                   "contrast_loss": contrast}
+
+        # ---- hard-negative ranking loss (intended behavior of the
+        # reference's cal_contrastive ranking branch, main_models.py:
+        # 1161-1174 + MarginRankingLoss(margin=0.5) :827 — kept commented
+        # out of the reference's own _step_i): teacher-force the NEGATIVE
+        # docs' CIDs against the same queries and push the positive's
+        # per-position token probability above the best negative token.
+        if "neg_labels" in batch:
+            neg = batch["neg_labels"]                       # [B, N, L]
+            bsz, n, l = neg.shape
+            enc_rep = jnp.repeat(out["encoder_hidden"][:b], n, axis=0)
+            attn_rep = jnp.repeat(batch["attn_mask"], n, axis=0)
+            neg_logits, _ = model.apply(
+                params["generator"], enc_rep, attn_rep,
+                shift_right(neg.reshape(bsz * n, l)),
+                batch["neg_label_mask"].reshape(bsz * n, l),
+                method=model.decode_logits)
+            pos_prob = jnp.take_along_axis(
+                jax.nn.softmax(out["logits"][:b].astype(jnp.float32), -1),
+                batch["labels"][..., None].astype(jnp.int32), axis=-1)[..., 0]
+            # padded label positions count as prob 1.0 (ref :1166-1168)
+            pos_prob = jnp.where(batch["label_mask"] > 0, pos_prob, 1.0)
+            neg_prob = jax.nn.softmax(
+                neg_logits.astype(jnp.float32), -1).max(-1)  # [B·N, L]
+            rank = losses.margin_ranking_loss(
+                pos_prob[:, None], neg_prob.reshape(bsz, n, l), margin=0.5)
+            total = total + rank
+            metrics["ranking_loss"] = rank
+
+        metrics["loss"] = total
+        return total, metrics
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: dict, store: Array,

@@ -88,3 +88,47 @@ def test_cli_calculate(world, capsys, tmp_path):
     metrics = json.loads(out[out.index("{"):])
     assert metrics["recall1"] == 0.5
     assert metrics["MRR100"] == 0.5
+
+
+def test_cli_real_vocab_end_to_end(world, capsys, tmp_path):
+    """VERDICT.md round-1 'Done =' bar: index/train/eval on a REAL trained
+    subword vocabulary, no HF download (tokenizers trained in-repo)."""
+    tmp = world
+    qtok = str(tmp_path / "queries.json")
+    dtok = str(tmp_path / "docs.json")
+    cli.main(["tokenizer", "--corpus", str(tmp / "train.tsv"),
+              "--out", qtok, "--type", "unigram", "--vocab-size", "120"])
+    cli.main(["tokenizer", "--corpus", str(tmp / "docs.tsv"),
+              "--out", dtok, "--type", "wordpiece", "--vocab-size", "120"])
+    out = capsys.readouterr().out
+    assert "unigram" in out and "wordpiece" in out
+
+    cli.main(["index", "--corpus", str(tmp / "docs.tsv"),
+              "--out", str(tmp_path / "index.npz"), "--kary", "3",
+              "--leaf-cap", "6", "--encoder-max-len", "16",
+              "--encoder-size", "tiny", "--batch-size", "8",
+              "--doc-tokenizer", dtok])
+    from gdr_tpu.index.io import load_index
+    assert np.isfinite(load_index(str(tmp_path / "index.npz")).store).all()
+
+    cli.main(["train", "--index", str(tmp_path / "index.npz"),
+              "--train", str(tmp / "train.tsv"), "--dev", str(tmp / "dev.tsv"),
+              "--workdir", str(tmp_path / "run"), "--model-size", "tiny",
+              "--kary", "3", "--max-output-length", "5",
+              "--max-input-length", "12", "--batch-size", "6",
+              "--epochs", "1", "--beam", "4", "--adaptor-layers", "1",
+              "--tokenizer", qtok])
+    with open(tmp_path / "run" / "train.metrics.jsonl") as fh:
+        rows = [json.loads(line) for line in fh]
+    losses = [r["avg_train_loss"] for r in rows if "avg_train_loss" in r]
+    assert losses and all(np.isfinite(v) for v in losses), losses
+
+    cli.main(["eval", "--index", str(tmp_path / "index.npz"),
+              "--dev", str(tmp / "dev.tsv"), "--workdir", str(tmp_path / "run"),
+              "--model-size", "tiny", "--kary", "3",
+              "--max-output-length", "5", "--max-input-length", "12",
+              "--beam", "4", "--eval-batch-size", "6",
+              "--adaptor-layers", "1", "--tokenizer", qtok])
+    out = capsys.readouterr().out
+    metrics = json.loads(out[out.index("{"):])
+    assert "recall1" in metrics
