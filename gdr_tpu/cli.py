@@ -150,7 +150,7 @@ def cmd_train(args) -> None:
     queries, positives = _read_query_tsv(args.train)
     train_set = build_train_set(
         queries, [p[0] for p in positives], index.paths, tok, mcfg,
-        args.max_input_length)
+        args.max_input_length, label_length_cutoff=dcfg.label_length_cutoff)
     dev_q, dev_pos = _read_query_tsv(args.dev)
     dev = build_eval_data(dev_q, dev_pos, index.cid_of_doc, tok,
                           args.max_input_length)
@@ -205,7 +205,10 @@ def cmd_eval(args) -> None:
     dev = build_eval_data(dev_q, dev_pos, index.cid_of_doc, tok,
                           args.max_input_length)
     ev_cfg = EvalConfig(num_beams=args.beam, num_return_sequences=args.beam,
-                        max_output_length=mcfg.max_output_length)
+                        max_output_length=mcfg.max_output_length,
+                        gen_method=args.gen_method,
+                        temperature=args.temperature,
+                        sample_top_k=args.sample_top_k)
     evaluator = Evaluator(model, index.trie, index.store, ev_cfg,
                           packed=args.packed, use_pallas=args.pallas)
     out = evaluator.evaluate(params, dev, batch_size=args.eval_batch_size)
@@ -309,6 +312,12 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--max-input-length", type=int, default=40)
     pe.add_argument("--beam", type=int, default=100)
     pe.add_argument("--eval-batch-size", type=int, default=8)
+    pe.add_argument("--gen-method", default="beam",
+                    choices=["beam", "greedy", "sample", "top_k"],
+                    help="decode mode (ref --gen_method); greedy == beam "
+                         "as in the reference, sample/top_k draw rollouts")
+    pe.add_argument("--temperature", type=float, default=1.0)
+    pe.add_argument("--sample-top-k", type=int, default=0)
     pe.add_argument("--packed", action="store_true",
                     help="cluster-packed store (contiguous per-beam slices)")
     pe.add_argument("--pallas", action="store_true",

@@ -72,6 +72,10 @@ class ModelConfig:
     # "decoder_avg" = masked mean of decoder states,
     # "decoder_special" = decoder state at the EOS position
     query_source: str = "encoder"
+    # learned 2d'→d' fusion of decoder-side and encoder query reps — the
+    # reference's "concate" fusion_strategy, whose fusion_layer it comments
+    # out of its own model (main_models.py:797, used at :1561-1562)
+    concate_fusion: bool = False
 
     # --- memory --------------------------------------------------------------
     remat: bool = False              # rematerialize transformer blocks in the
@@ -182,11 +186,21 @@ class EvalConfig:
     accuracy_ks: Sequence[int] = (1, 20, 100)
     mrr_ks: Sequence[int] = (10, 100)
     map_k: int = 100
-    begin_val_epoch: int = 0
     use_query_embed_encoder: bool = True
     use_query_embed_decoder_avg: bool = False
     use_query_embed_decoder_special: bool = False
+    # "average" halves the two reps (ref main_models.py:1564-1565);
+    # "concate" feeds their concatenation through the model's fusion layer
+    # (requires ModelConfig.concate_fusion)
     fusion_strategy: str = "average"
+    # decode mode (ref --gen_method, main.py:168-224): "beam" (also what
+    # the reference runs for "greedy" — it beam-searches with
+    # num_beams=num_return_sequences) or "sample" (the top_k/do_sample
+    # path; see ops/beam.sample_cids)
+    gen_method: str = "beam"
+    temperature: float = 1.0
+    sample_top_k: int = 0            # 0 → no top-k filter inside candidates
+    sample_seed: int = 0
 
 
 @dataclass(frozen=True)

@@ -66,15 +66,24 @@ class TrainSet:
 def build_train_set(queries: Sequence[str], positives: Sequence[int],
                     doc_paths: Sequence[Sequence[int]], tokenizer,
                     mcfg: ModelConfig, max_input_length: int,
-                    source: str = "gtq") -> TrainSet:
-    """Tokenize queries and attach CID labels of their positive docs."""
+                    source: str = "gtq",
+                    label_length_cutoff: bool = False) -> TrainSet:
+    """Tokenize queries and attach CID labels of their positive docs.
+
+    ``label_length_cutoff``: truncate CID paths to ``max_output_length - 2``
+    digits (ref main_models.py:477-478) — trains on cluster prefixes when
+    the tree is deeper than the decoder budget."""
     ids, mask = tokenizer.encode_batch(list(queries), max_input_length)
     q = len(queries)
     labels = np.zeros((q, mcfg.max_output_length), np.int32)
     lmask = np.zeros((q, mcfg.max_output_length), np.int32)
+    cut = mcfg.max_output_length - 2
     for i, doc in enumerate(positives):
+        path = doc_paths[doc]
+        if label_length_cutoff:
+            path = path[:cut]
         labels[i], lmask[i] = digits_to_label(
-            doc_paths[doc], mcfg.kary, mcfg.max_output_length, mcfg.position)
+            path, mcfg.kary, mcfg.max_output_length, mcfg.position)
     return TrainSet(input_ids=ids, attn_mask=mask, labels=labels,
                     label_mask=lmask,
                     pos_idx=np.asarray(positives, np.int32),

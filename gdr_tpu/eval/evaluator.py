@@ -78,8 +78,18 @@ class Evaluator:
         self._cluster_doc_mask = jnp.asarray(trie.cluster_doc_mask)
         self._alphas = jnp.asarray(np.asarray(cfg.score_rates, np.float32))
         # trie tables are jit *arguments*, not closure captures — captured
-        # arrays would be baked into the HLO as literals (slow compiles)
+        # arrays would be baked into the HLO as literals (slow compiles).
+        # Both jitted entry points are bound per-instance here so a second
+        # Evaluator with a different config never reuses a stale closure.
         self._retrieve = jax.jit(self._retrieve_impl)
+
+        def _many_impl(params, ids_stack, mask_stack, store, *tables):
+            def one(args):
+                ids, msk = args
+                return self._retrieve_impl(params, ids, msk, store, *tables)
+            return jax.lax.map(one, (ids_stack, mask_stack))
+
+        self._retrieve_many = jax.jit(_many_impl)
 
     def _per_beam_decoder_query(self, params, res, enc, attn_mask):
         """Decoder-side query reps: re-run the generated sequences through
@@ -107,18 +117,30 @@ class Evaluator:
                        eos, cluster_of_node, cluster_docs, cluster_doc_mask,
                        alphas):
         cfg = self.cfg
-        res, q_emb, enc = generate_cids(
-            self.model, params, input_ids, attn_mask, children,
-            eos, cfg.num_beams, cfg.max_output_length,
-            cfg.length_penalty)
+        if cfg.gen_method in ("sample", "top_k"):
+            from gdr_tpu.ops.beam import sample_cids
+            res, q_emb, enc = sample_cids(
+                self.model, params, input_ids, attn_mask, children, eos,
+                cfg.num_beams, cfg.max_output_length,
+                jax.random.PRNGKey(cfg.sample_seed),
+                temperature=cfg.temperature, top_k=cfg.sample_top_k,
+                length_penalty=cfg.length_penalty)
+        else:   # "beam" (the reference's "greedy" mode is also beam search)
+            res, q_emb, enc = generate_cids(
+                self.model, params, input_ids, attn_mask, children,
+                eos, cfg.num_beams, cfg.max_output_length,
+                cfg.length_penalty)
         if (cfg.use_query_embed_decoder_avg
                 or cfg.use_query_embed_decoder_special):
             q_dec = self._per_beam_decoder_query(params, res, enc, attn_mask)
             if cfg.use_query_embed_encoder:
-                # fusion_strategy "average" (ref main_models.py:1559-1563);
-                # "concate" needs the reference's fusion layer, which it
-                # comments out of its own model (main_models.py:797)
-                q_emb = (q_dec + q_emb[:, None, :]) / 2.0
+                if cfg.fusion_strategy == "concate":
+                    # learned fusion over the concatenation
+                    # (ref main_models.py:1561-1562)
+                    q_emb = self.model.apply(params, q_dec, q_emb[:, None, :],
+                                             method=self.model.fuse_queries)
+                else:   # "average" (ref :1564-1565)
+                    q_emb = (q_dec + q_emb[:, None, :]) / 2.0
             else:
                 q_emb = q_dec
         if self.mesh is not None:
@@ -159,14 +181,6 @@ class Evaluator:
         on tunnelled/serving deployments) over G·B queries.
         Returns (BeamResult, RerankResult) with a leading G axis.
         """
-        if not hasattr(self, "_retrieve_many"):
-            def impl(params, ids_stack, mask_stack, store, *tables):
-                def one(args):
-                    ids, msk = args
-                    return self._retrieve_impl(params, ids, msk, store,
-                                               *tables)
-                return jax.lax.map(one, (ids_stack, mask_stack))
-            self._retrieve_many = jax.jit(impl)
         return self._retrieve_many(params, jnp.asarray(input_ids),
                                    jnp.asarray(attn_mask), self.store,
                                    self._children, self._eos,

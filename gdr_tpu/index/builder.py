@@ -73,7 +73,9 @@ def build_index_from_embeddings(store: np.ndarray,
                                 cfg: IndexConfig) -> Index:
     """k-means the embeddings into CID paths and pack the trie."""
     paths = hierarchical_kmeans(store, kary=cfg.kary, leaf_cap=cfg.leaf_cap,
-                                iters=cfg.max_iters, seed=cfg.seed)
+                                iters=cfg.max_iters, seed=cfg.seed,
+                                minibatch_threshold=cfg.minibatch_threshold,
+                                minibatch_size=cfg.minibatch_size)
     mapping = paths_to_cid_mapping(paths)
     trie = build_trie(mapping, kary=cfg.kary,
                       max_docs_per_cluster=cfg.max_docs_per_cluster,

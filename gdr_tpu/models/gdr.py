@@ -84,6 +84,12 @@ class GenerativeRetriever(nn.Module):
             # tied to the shared embedding (ref modeling_t5.py:1261-1264)
             self.denoise_disc = nn.Dense(2, use_bias=False, dtype=self.dtype,
                                          name="denoise_disc")
+        if c.concate_fusion:
+            # "concate" query fusion (ref fusion_strategy, used at
+            # main_models.py:1561-1562; the fusion_layer itself is commented
+            # out of the reference model at :797 — first-class here)
+            self.fusion = nn.Dense(c.encoder_d_model, dtype=self.dtype,
+                                   name="fusion")
         # [L, V] additive −1e9 validity mask (0 on valid entries)
         self.logit_mask = jnp.asarray(
             positional_logit_mask(c.kary, c.max_output_length, c.position))
@@ -134,6 +140,13 @@ class GenerativeRetriever(nn.Module):
         else:
             raise ValueError(f"unknown query_source {src}")
         return self.project_query(q)
+
+    def fuse_queries(self, q_dec: Array, q_enc: Array) -> Array:
+        """Learned fusion of decoder-side and encoder query reps
+        (fusion_strategy "concate"): Dense over their concatenation.
+        Inputs broadcast-compatible [..., d']; returns [..., d']."""
+        return self.fusion(jnp.concatenate(
+            [q_dec, jnp.broadcast_to(q_enc, q_dec.shape)], axis=-1))
 
     def decode_hidden(self, enc: Array, enc_mask: Array,
                       decoder_input_ids: Array,
@@ -193,6 +206,9 @@ class GenerativeRetriever(nn.Module):
         if self.cfg.denoising:
             keep = jnp.ones_like(input_ids, dtype=bool)
             self.denoise(input_ids, attn_mask, keep, jax.random.PRNGKey(0))
+        if self.cfg.concate_fusion:
+            q = out["query_embedding"]
+            self.fuse_queries(q, q)
         return out
 
     def denoise(self, input_ids: Array, attn_mask: Array, keep_mask: Array,

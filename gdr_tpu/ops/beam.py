@@ -247,6 +247,85 @@ def beam_search(step_fn: StepFn, cache: dict, batch: int, num_beams: int,
                      length_penalty)
 
 
+def sample_cids(model, params, input_ids: Array, attn_mask: Array,
+                children: Array, eos_allowed: Array, num_samples: int,
+                max_len: int, rng: Array, temperature: float = 1.0,
+                top_k: int = 0, length_penalty: float = 1.0
+                ) -> tuple[BeamResult, Array, Array]:
+    """Stochastic CID decoding — the reference's ``gen_method top_k`` /
+    ``do_sample`` inference modes (main.py:189-204) as one compiled program.
+
+    Each query draws ``num_samples`` independent trie-constrained rollouts:
+    per position the step-local candidates (≤ kary digits + EOS) are
+    trie-masked, optionally temperature-scaled and top-k-filtered, and one
+    continuation is sampled per rollout.  Deviation from the reference
+    (documented): its top_k mode drops the trie and relies on the positional
+    mask alone, so it can emit non-cluster paths; here sampling stays inside
+    the trie so every rollout is a valid cluster and feeds the dense re-rank.
+
+    Returns (BeamResult, query_emb, enc) like :func:`generate_cids`; rollout
+    scores are the model's length-normalised log-probs (not the sampling
+    distribution's), sorted descending per query.  Duplicate rollouts are
+    possible, as with the reference's sampler.
+    """
+    batch = input_ids.shape[0]
+    kary = model.cfg.kary
+    enc = model.apply(params, input_ids, attn_mask, method=model.encode)
+    query_emb = model.apply(params, enc, method=model.query_embedding)
+    cache = model.apply(params, enc, max_len, num_samples,
+                        method=model.init_cache)
+
+    def step_fn(cur_tok, cache, pos, width):
+        return model.apply(params, cur_tok, cache, attn_mask, pos, width,
+                           method=model.decode_step_candidates)
+
+    bk = batch * num_samples
+    tokens = jnp.zeros((bk, max_len + 1), jnp.int32)
+    node = jnp.zeros((bk,), jnp.int32)
+    scores = jnp.zeros((bk,), jnp.float32)
+    finished = jnp.zeros((bk,), bool)
+    eos_pos = jnp.full((bk,), max_len - 1, jnp.int32)
+    cur_tok = jnp.full((bk,), PAD_ID, jnp.int32)
+
+    def body(carry, pos_and_key):
+        pos, key = pos_and_key
+        tokens, node, scores, finished, eos_pos, cur_tok, cache = carry
+        out, cache = step_fn(cur_tok, cache, pos, num_samples)
+        logp = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
+        ch = children[node]                                  # [BK, kary]
+        ok = jnp.concatenate([ch >= 0, eos_allowed[node][:, None]], axis=1)
+        cand = jnp.where(ok, logp, NEG_INF)                  # [BK, kary+1]
+        dist = cand / max(temperature, 1e-6)
+        if top_k > 0 and top_k < kary + 1:
+            kth = jnp.sort(dist, axis=1)[:, -top_k][:, None]
+            dist = jnp.where(dist >= kth, dist, NEG_INF)
+        option = jax.random.categorical(key, dist)           # [BK]
+        step_logp = jnp.take_along_axis(
+            jax.nn.log_softmax(cand, axis=-1), option[:, None], axis=1)[:, 0]
+        is_eos = (option == kary) & ~finished
+        new_tok = jnp.where(
+            finished, PAD_ID,
+            jnp.where(is_eos, EOS_ID, pos * kary + TOKEN_OFFSET + option))
+        node = jnp.where(option < kary,
+                         children[node, jnp.minimum(option, kary - 1)], node)
+        node = jnp.maximum(node, 0)
+        scores = scores + jnp.where(finished, 0.0, step_logp)
+        eos_pos = jnp.where(is_eos, pos, eos_pos)
+        finished = finished | is_eos
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, new_tok[:, None], (0, pos + 1))
+        return (tokens, node, scores, finished, eos_pos, new_tok, cache), None
+
+    keys = jax.random.split(rng, max_len)
+    carry = (tokens, node, scores, finished, eos_pos, cur_tok, cache)
+    carry, _ = jax.lax.scan(body, carry,
+                            (jnp.arange(max_len, dtype=jnp.int32), keys))
+    tokens, node, scores, finished, eos_pos = carry[:5]
+    result = _finalize(tokens, node, scores, eos_pos, batch, num_samples,
+                       length_penalty)
+    return result, query_emb, enc
+
+
 def generate_cids(model, params, input_ids: Array, attn_mask: Array,
                   children: Array, eos_allowed: Array, num_beams: int,
                   max_len: int, length_penalty: float = 1.0,

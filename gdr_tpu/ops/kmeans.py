@@ -77,6 +77,54 @@ def kmeans_fit(x: Array, mask: Array, k: int, iters: int, key: Array
     return cent, assign(cent)
 
 
+@partial(jax.jit, static_argnames=("k", "iters", "batch_size"))
+def kmeans_fit_minibatch(x: Array, mask: Array, k: int, iters: int,
+                         batch_size: int, key: Array
+                         ) -> tuple[Array, Array]:
+    """Minibatch k-means (the reference's MiniBatchKMeans path for clusters
+    ≥ 1e3 points, kmeans.py:53-56): each iteration assigns one sampled
+    minibatch and moves each centroid toward its batch mean with a
+    per-centre learning rate 1/count — sklearn's streaming update, batched.
+
+    x: [n, d] (padded), mask: [n] bool.  Returns (centroids, assignment).
+    """
+    n = x.shape[0]
+    x = x.astype(jnp.float32)
+    w = mask.astype(jnp.float32)
+
+    # seed with k distinct points (uniform over the mask)
+    key0, key_seq = jax.random.split(key)
+    probs0 = w / jnp.maximum(w.sum(), 1.0)
+    seed_idx = jax.random.choice(key0, n, shape=(k,), replace=False, p=probs0)
+    cent0 = x[seed_idx]
+
+    def assign_of(cent, pts):
+        d2 = (jnp.sum(pts * pts, axis=1, keepdims=True)
+              - 2.0 * (pts @ cent.T) + jnp.sum(cent * cent, axis=1)[None])
+        return jnp.argmin(d2, axis=1).astype(jnp.int32)
+
+    def body(i, state):
+        cent, counts, key_seq = state
+        key_seq, sub = jax.random.split(key_seq)
+        bidx = jax.random.choice(sub, n, shape=(batch_size,), p=probs0)
+        pts = x[bidx]
+        a = assign_of(cent, pts)
+        onehot = jax.nn.one_hot(a, k, dtype=jnp.float32)
+        bsum = onehot.T @ pts                               # [k, d]
+        bcnt = onehot.sum(axis=0)                           # [k]
+        new_counts = counts + bcnt
+        lr = bcnt / jnp.maximum(new_counts, 1.0)
+        bmean = bsum / jnp.maximum(bcnt, 1.0)[:, None]
+        cent = jnp.where(bcnt[:, None] > 0,
+                         (1.0 - lr)[:, None] * cent + lr[:, None] * bmean,
+                         cent)
+        return cent, new_counts, key_seq
+
+    cent, _, _ = jax.lax.fori_loop(
+        0, iters, body, (cent0, jnp.zeros((k,), jnp.float32), key_seq))
+    return cent, assign_of(cent, x)
+
+
 def _bucket(n: int, minimum: int = 64) -> int:
     b = minimum
     while b < n:
@@ -87,12 +135,18 @@ def _bucket(n: int, minimum: int = 64) -> int:
 def hierarchical_kmeans(X: np.ndarray, kary: int, leaf_cap: int,
                         iters: int = 25, seed: int = 7,
                         max_depth: int = 8,
-                        doc_level_suffix: bool = False) -> list[list[int]]:
+                        doc_level_suffix: bool = False,
+                        minibatch_threshold: int = 0,
+                        minibatch_size: int = 1024) -> list[list[int]]:
     """Build per-doc CID digit paths.  X: [N, d] doc embeddings (host array).
 
     Returns ``paths[i]`` = list of digits for doc i (length ≤ max_depth).
     Mirrors reference kmeans.py:41-90 but cluster assignment happens on
     device and the recursion reuses bucketed compiled programs.
+
+    ``minibatch_threshold`` > 0: clusters of at least that many points use
+    minibatch k-means with ``minibatch_size`` samples per iteration
+    (ref kmeans.py:53-56, threshold 1e3); smaller clusters run exact Lloyd.
     """
     X = np.asarray(X, np.float32)
     n_total = X.shape[0]
@@ -119,8 +173,13 @@ def hierarchical_kmeans(X: np.ndarray, kary: int, leaf_cap: int,
         mask = np.zeros(b, bool)
         mask[:n] = True
         key, sub = jax.random.split(key)
-        _, assign = kmeans_fit(jnp.asarray(xp), jnp.asarray(mask), kary,
-                               iters, sub)
+        if minibatch_threshold and n >= minibatch_threshold:
+            _, assign = kmeans_fit_minibatch(
+                jnp.asarray(xp), jnp.asarray(mask), kary, iters,
+                min(minibatch_size, b), sub)
+        else:
+            _, assign = kmeans_fit(jnp.asarray(xp), jnp.asarray(mask), kary,
+                                   iters, sub)
         assign = np.asarray(assign[:n])
         # degenerate split (all points in one cluster): round-robin fallback
         if len(np.unique(assign)) == 1:

@@ -215,3 +215,79 @@ def test_progressive_width_guard():
                     batch=1, num_beams=64, kary=2, max_len=3,
                     children=jnp.zeros((1, 2), jnp.int32),
                     eos_allowed=jnp.zeros((1,), bool), progressive=True)
+
+
+def test_sample_cids_valid_paths(toy):
+    """Sampled rollouts are always valid trie paths (every emitted CID is a
+    cluster) and deterministic under a fixed PRNG key."""
+    import dataclasses
+    from gdr_tpu.config import tiny_config
+    from gdr_tpu.models.gdr import GenerativeRetriever, init_params
+    from gdr_tpu.ops.beam import sample_cids
+    from gdr_tpu.ops.codec import decode_token_batch
+
+    trie, _table, _mask = toy
+    cid_to_docs = {"0": [0], "1-0": [1], "1-2": [2, 3], "2-1-0": [4],
+                   "2-1-2": [5], "2-2": [6]}
+    cfg = dataclasses.replace(tiny_config(kary=KARY,
+                                          max_output_length=MAX_LEN).model,
+                              dropout_rate=0.0)
+    model = GenerativeRetriever(cfg)
+    params = init_params(model, jax.random.PRNGKey(0), input_len=6)
+    ids = jnp.asarray(np.random.default_rng(3).integers(2, 100, (2, 6)),
+                      jnp.int32)
+    mask = jnp.ones_like(ids)
+
+    res, q, enc = sample_cids(model, params, ids, mask,
+                              jnp.asarray(trie.children),
+                              jnp.asarray(trie.eos_allowed),
+                              num_samples=6, max_len=MAX_LEN,
+                              rng=jax.random.PRNGKey(7), temperature=1.3,
+                              top_k=2)
+    assert res.sequences.shape == (2, 6, MAX_LEN + 1)
+    cids = decode_token_batch(np.asarray(res.sequences).reshape(12, -1), KARY)
+    for c in cids:
+        assert c in cid_to_docs, c      # every rollout is a real cluster
+    # scores sorted descending per query
+    s = np.asarray(res.scores)
+    assert (np.diff(s, axis=1) <= 1e-6).all()
+    # determinism under the same key
+    res2, _, _ = sample_cids(model, params, ids, mask,
+                             jnp.asarray(trie.children),
+                             jnp.asarray(trie.eos_allowed),
+                             num_samples=6, max_len=MAX_LEN,
+                             rng=jax.random.PRNGKey(7), temperature=1.3,
+                             top_k=2)
+    np.testing.assert_array_equal(np.asarray(res.sequences),
+                                  np.asarray(res2.sequences))
+
+
+def test_sample_cids_low_temperature_matches_greedy(toy):
+    """temperature → 0 makes every rollout the argmax path = beam K=1."""
+    import dataclasses
+    from gdr_tpu.config import tiny_config
+    from gdr_tpu.models.gdr import GenerativeRetriever, init_params
+    from gdr_tpu.ops.beam import generate_cids, sample_cids
+
+    trie, _table, _mask = toy
+    cfg = dataclasses.replace(tiny_config(kary=KARY,
+                                          max_output_length=MAX_LEN).model,
+                              dropout_rate=0.0)
+    model = GenerativeRetriever(cfg)
+    params = init_params(model, jax.random.PRNGKey(0), input_len=6)
+    ids = jnp.asarray(np.random.default_rng(5).integers(2, 100, (2, 6)),
+                      jnp.int32)
+    mask = jnp.ones_like(ids)
+    ch, eos = jnp.asarray(trie.children), jnp.asarray(trie.eos_allowed)
+
+    samp, _, _ = sample_cids(model, params, ids, mask, ch, eos,
+                             num_samples=3, max_len=MAX_LEN,
+                             rng=jax.random.PRNGKey(0), temperature=1e-4)
+    beam, _, _ = generate_cids(model, params, ids, mask, ch, eos,
+                               num_beams=1, max_len=MAX_LEN,
+                               progressive=False)
+    for b in range(2):
+        for s in range(3):
+            np.testing.assert_array_equal(
+                np.asarray(samp.sequences)[b, s],
+                np.asarray(beam.sequences)[b, 0])

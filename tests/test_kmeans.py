@@ -83,3 +83,26 @@ def test_hierarchical_kmeans_deterministic_under_seed(rng):
     assert a == b
     c = hierarchical_kmeans(X, kary=4, leaf_cap=8, iters=10, seed=4)
     assert c != a          # different seed → different assignment (w.h.p.)
+
+
+def test_minibatch_kmeans_paths_valid():
+    """IndexConfig.minibatch_* is live: large clusters split via the
+    minibatch path (ref kmeans.py:53-56) and still produce a valid
+    bounded-size partition, deterministically under a seed."""
+    import numpy as np
+    from gdr_tpu.ops.kmeans import hierarchical_kmeans
+
+    rng = np.random.default_rng(0)
+    centers = rng.normal(size=(8, 16)) * 6
+    X = (centers[rng.integers(0, 8, 1500)]
+         + rng.normal(size=(1500, 16))).astype(np.float32)
+    kw = dict(kary=4, leaf_cap=64, iters=12, seed=3,
+              minibatch_threshold=1000, minibatch_size=256)
+    paths = hierarchical_kmeans(X, **kw)
+    assert len(paths) == 1500
+    assert all(len(p) >= 1 for p in paths)
+    from collections import Counter
+    leaf_sizes = Counter("-".join(map(str, p)) for p in paths)
+    assert max(leaf_sizes.values()) <= 64 * 4   # respects leaf_cap order
+    paths2 = hierarchical_kmeans(X, **kw)
+    assert paths == paths2

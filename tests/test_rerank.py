@@ -112,3 +112,68 @@ def test_rerank_quantized_store(setup):
                                   np.asarray(ref.doc_ids))
     np.testing.assert_allclose(np.asarray(got.scores),
                                np.asarray(ref.scores), atol=0.05)
+
+
+def test_concate_fusion_eval_path():
+    """fusion_strategy "concate": the model's learned fusion layer combines
+    decoder-side and encoder query reps (ref main_models.py:1561-1562)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gdr_tpu.config import tiny_config
+    from gdr_tpu.data.synthetic import build_synthetic_task
+    from gdr_tpu.eval.evaluator import Evaluator
+    from gdr_tpu.models.gdr import GenerativeRetriever, init_params
+
+    CFG = tiny_config(kary=3, max_output_length=5)
+    mcfg = dataclasses.replace(CFG.model, dropout_rate=0.0,
+                               concate_fusion=True)
+    task = build_synthetic_task(n_docs=16, dim=16, kary=3, leaf_cap=4,
+                                seq_len=8, vocab_size=mcfg.vocab_size,
+                                max_output_length=5, seed=0)
+    model = GenerativeRetriever(mcfg)
+    params = init_params(model, jax.random.PRNGKey(0))
+    assert "fusion" in params["params"]
+
+    base = dataclasses.replace(CFG.eval, num_beams=4, num_return_sequences=4,
+                               use_query_embed_decoder_avg=True,
+                               score_rates=(0.0,))
+    ev_avg = Evaluator(model, task.trie, task.store,
+                       dataclasses.replace(base, fusion_strategy="average"))
+    ev_cat = Evaluator(model, task.trie, task.store,
+                       dataclasses.replace(base, fusion_strategy="concate"))
+    r1, rr_avg = ev_avg.retrieve(params, task.input_ids[:2], task.attn_mask[:2])
+    r2, rr_cat = ev_cat.retrieve(params, task.input_ids[:2], task.attn_mask[:2])
+    # same beams, different dense scores (the fusion layer is load-bearing)
+    np.testing.assert_array_equal(np.asarray(r1.sequences),
+                                  np.asarray(r2.sequences))
+    assert np.abs(np.asarray(rr_avg.scores)
+                  - np.asarray(rr_cat.scores)).max() > 1e-6
+
+
+def test_sample_gen_method_eval_path():
+    """EvalConfig.gen_method="sample" retrieves through sampled rollouts."""
+    import dataclasses
+    import jax
+    import numpy as np
+    from gdr_tpu.config import tiny_config
+    from gdr_tpu.data.synthetic import build_synthetic_task
+    from gdr_tpu.eval.evaluator import Evaluator
+    from gdr_tpu.models.gdr import GenerativeRetriever, init_params
+
+    CFG = tiny_config(kary=3, max_output_length=5)
+    mcfg = dataclasses.replace(CFG.model, dropout_rate=0.0)
+    task = build_synthetic_task(n_docs=16, dim=16, kary=3, leaf_cap=4,
+                                seq_len=8, vocab_size=mcfg.vocab_size,
+                                max_output_length=5, seed=0)
+    model = GenerativeRetriever(mcfg)
+    params = init_params(model, jax.random.PRNGKey(0))
+    ev = Evaluator(model, task.trie, task.store,
+                   dataclasses.replace(CFG.eval, num_beams=4,
+                                       num_return_sequences=4,
+                                       gen_method="sample", temperature=1.0,
+                                       score_rates=(0.0, 1.0)))
+    res, rr = ev.retrieve(params, task.input_ids[:2], task.attn_mask[:2])
+    assert np.asarray(res.sequences).shape[1] == 4
+    assert np.isfinite(np.asarray(rr.scores)[np.asarray(rr.doc_valid)]).all()
