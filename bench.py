@@ -57,6 +57,234 @@ def build_nq_scale_trie(n_docs: int, kary: int, leaf_cap: int,
                       max_docs_per_cluster=max_docs_per_cluster)
 
 
+def quality_phase(tiny: bool) -> dict:
+    """Retrieval-quality benchmark vs a brute-force dense oracle.
+
+    Synthetic-NQ at small scale: every doc is a bag of doc-specific tokens,
+    queries are noisy samples from that bag (3 train + 1 HELD-OUT per doc),
+    the store is blob-structured.  Train stage 1 to convergence, then score
+    held-out queries two ways with the SAME learned query embeddings:
+
+    - full pipeline: trie-constrained beam decode → in-cluster re-rank;
+    - oracle: exhaustive tanh(q·d) over the whole store (no generative
+      stage, no clustering) — the dense ceiling.
+
+    Reported R@{1,10,100}/MRR@10 plus the ours/oracle R@10 ratio lock the
+    end-to-end quality the throughput number alone cannot see.
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from gdr_tpu.config import (DataConfig, EvalConfig, GDRConfig,
+                                ModelConfig, TrainConfig)
+    from gdr_tpu.eval.evaluator import EvalData, Evaluator
+    from gdr_tpu.models.gdr import GenerativeRetriever
+    from gdr_tpu.ops.kmeans import hierarchical_kmeans, paths_to_cid_mapping
+    from gdr_tpu.ops.trie import build_trie
+    from gdr_tpu.ops.codec import digits_to_label
+    from gdr_tpu.train.trainer import init_train_state, make_train_step
+
+    n_docs = 240 if tiny else 2048
+    dim = 32 if tiny else 64
+    kary, leaf_cap = (4, 8) if tiny else (8, 10)
+    q_train_per_doc, seq_len = 3, 12
+    epochs = 2 if tiny else int(os.environ.get("GDR_BENCH_Q_EPOCHS", "150"))
+    bsz = 32 if tiny else 64
+    vocab = 4096
+    L = 6
+
+    mcfg = ModelConfig(
+        kary=kary, max_output_length=L, d_model=64 if tiny else 128,
+        d_kv=16, d_ff=128 if tiny else 256, num_layers=2,
+        num_decoder_layers=2, num_heads=4, vocab_size=vocab,
+        encoder_d_model=dim, adaptor_layer_num=1, adaptor_num_heads=4,
+        dropout_rate=0.1, input_dropout=0.0)
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(24, dim)) * 6.0
+    blob = rng.integers(0, 24, n_docs)
+    store = (centers[blob] + rng.normal(size=(n_docs, dim))).astype(np.float32)
+    store /= np.linalg.norm(store, axis=1, keepdims=True)
+
+    paths = hierarchical_kmeans(store, kary=kary, leaf_cap=leaf_cap,
+                                iters=15, seed=3, max_depth=L - 2)
+    trie = build_trie(paths_to_cid_mapping(paths), kary,
+                      max_docs_per_cluster=leaf_cap * 4,
+                      doc_embeddings=store)
+    cid_of_doc = ["-".join(str(d) for d in p) for p in paths]
+
+    # token bags: 12 doc-specific tokens; a query = 8 of them + 4 noise
+    bags = rng.integers(2, vocab, size=(n_docs, 12))
+
+    def make_queries(n_per_doc, seed):
+        r = np.random.default_rng(seed)
+        ids = np.zeros((n_docs * n_per_doc, seq_len), np.int32)
+        pos = np.zeros(n_docs * n_per_doc, np.int32)
+        for d in range(n_docs):
+            for j in range(n_per_doc):
+                row = d * n_per_doc + j
+                ids[row, :8] = r.choice(bags[d], 8, replace=False)
+                ids[row, 8:] = r.integers(2, vocab, 4)   # noise tokens
+                pos[row] = d
+        return ids, pos
+
+    train_ids, train_pos = make_queries(q_train_per_doc, seed=100)
+    test_ids, test_pos = make_queries(1, seed=999)       # held out
+
+    labels = np.zeros((len(train_pos), L), np.int32)
+    lmask = np.zeros((len(train_pos), L), np.int32)
+    for i, d in enumerate(train_pos):
+        labels[i], lmask[i] = digits_to_label(paths[d], kary, L)
+
+    lr = float(os.environ.get("GDR_BENCH_Q_LR", "1e-3"))
+    cfg = GDRConfig(model=mcfg,
+                    train=TrainConfig(train_batch_size=bsz, tau=0.05,
+                                      learning_rate=lr,
+                                      decoder_learning_rate=lr),
+                    data=DataConfig(max_intraclass_num=4))
+    model = GenerativeRetriever(mcfg)
+    state, opt = init_train_state(cfg, model, None, jax.random.PRNGKey(0),
+                                  total_steps=epochs * len(train_pos) // bsz,
+                                  input_len=seq_len)
+    step_fn = make_train_step(model, None, opt, cfg, stage=1)
+
+    # candidate pools for the contrastive loss
+    by_cid: dict[str, list[int]] = {}
+    for d, c in enumerate(cid_of_doc):
+        by_cid.setdefault(c, []).append(d)
+    cand = np.zeros((len(train_pos), 5), np.int32)
+    cmask = np.zeros((len(train_pos), 5), bool)
+    for i, d in enumerate(train_pos):
+        pool = [x for x in by_cid[cid_of_doc[d]] if x != d][:4] + [int(d)]
+        cand[i, : len(pool)] = pool
+        cmask[i, : len(pool)] = True
+
+    store_j = jnp.asarray(store)
+    step_rng = jax.random.PRNGKey(5)
+    order = np.arange(len(train_pos))
+    t0 = time.perf_counter()
+    last = None
+    for ep in range(epochs):
+        np.random.default_rng(ep).shuffle(order)
+        for s in range(0, len(order) - bsz + 1, bsz):
+            idx = order[s:s + bsz]
+            batch = {"input_ids": jnp.asarray(train_ids[idx]),
+                     "attn_mask": jnp.ones((bsz, seq_len), jnp.int32),
+                     "labels": jnp.asarray(labels[idx]),
+                     "label_mask": jnp.asarray(lmask[idx]),
+                     "pos_idx": jnp.asarray(train_pos[idx]),
+                     "cand_idx": jnp.asarray(cand[idx]),
+                     "cand_mask": jnp.asarray(cmask[idx])}
+            state, m = step_fn(state, batch, store_j, step_rng)
+        last = float(m["loss"])
+        if ep % 8 == 0 or ep == epochs - 1:
+            log(f"quality: epoch {ep} loss {last:.3f} "
+                f"(ce {float(m['ce']):.3f} "
+                f"contrast {float(m['contrast_loss']):.3f})")
+    log(f"quality: trained {epochs} epochs on {len(train_pos)} queries "
+        f"({time.perf_counter()-t0:.1f}s, final loss {last:.3f})")
+
+    beams = 10 if tiny else 64
+    ev = Evaluator(model, trie, store,
+                   EvalConfig(num_beams=beams, num_return_sequences=100,
+                              max_output_length=L, length_penalty=0.8,
+                              score_rates=(0.0, 1.0)))
+    data = EvalData(input_ids=test_ids,
+                    attn_mask=np.ones_like(test_ids),
+                    gt_docs=[[str(d)] for d in test_pos],
+                    gt_cids=[[cid_of_doc[d]] for d in test_pos])
+    metrics = ev.evaluate(state.params["generator"], data, batch_size=64)
+
+    # dense oracle: exhaustive tanh(q·d) with the SAME query embeddings
+    enc = model.apply(state.params["generator"], jnp.asarray(test_ids),
+                      jnp.ones_like(jnp.asarray(test_ids)),
+                      method=model.encode)
+    q = np.asarray(model.apply(state.params["generator"], enc,
+                               method=model.query_embedding), np.float32)
+    sims = np.tanh(q @ store.T)
+    top = np.argsort(-sims, axis=1)[:, :100]
+    oracle = {}
+    for k in (1, 10, 100):
+        oracle[f"oracle_recall{k}"] = float(
+            np.mean([test_pos[i] in top[i, :k] for i in range(len(test_pos))]))
+    # doc-level metrics are per fusion-α ("recall10_0.0", …); report the
+    # best α like the reference's sweep (main_models.py:1798-1908)
+    alphas = (0.0, 1.0)
+    out = {f"quality_recall{k}": round(max(
+        metrics[f"recall{k}_{a}"] for a in alphas), 4) for k in (1, 10, 100)}
+    out["quality_mrr10"] = round(max(
+        metrics[f"MRR10_{a}"] for a in alphas), 4)
+    out["quality_cluster_recall1"] = round(metrics["cluster_recall1"], 4)
+    out.update(oracle)
+    out["recall10_vs_oracle"] = round(
+        out["quality_recall10"] / max(oracle["oracle_recall10"], 1e-9), 4)
+    log(f"quality: {out}")
+    return out
+
+
+def train_step_phase(tiny: bool) -> dict:
+    """Time the flagship train step (t5-base, batch 32, R-Drop duplication
+    + InfoNCE) — the number round 1 claimed (103 ms) but never recorded
+    in a driver artifact."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from gdr_tpu.config import GDRConfig, ModelConfig, TrainConfig, DataConfig
+    from gdr_tpu.models.gdr import GenerativeRetriever
+    from gdr_tpu.train.trainer import init_train_state, make_train_step
+
+    if tiny:
+        mcfg = ModelConfig(kary=8, max_output_length=5, d_model=64, d_kv=16,
+                           d_ff=128, num_layers=2, num_decoder_layers=2,
+                           num_heads=4, vocab_size=512, encoder_d_model=64,
+                           adaptor_layer_num=1, adaptor_num_heads=2)
+        bsz, seq_len, iters = 8, 16, 3
+    else:
+        mcfg = ModelConfig().scaled("base")
+        bsz, seq_len, iters = 32, 40, 10
+    cfg = GDRConfig(model=mcfg, train=TrainConfig(train_batch_size=bsz),
+                    data=DataConfig())
+    model = GenerativeRetriever(mcfg)
+    state, opt = init_train_state(cfg, model, None, jax.random.PRNGKey(0),
+                                  total_steps=1000, input_len=seq_len)
+    step_fn = make_train_step(model, None, opt, cfg, stage=1)
+
+    rng = np.random.default_rng(1)
+    L = mcfg.max_output_length
+    labels = np.zeros((bsz, L), np.int32)
+    labels[:, 0] = 2
+    labels[:, 1] = mcfg.kary + 2
+    labels[:, 2] = 1
+    lmask = (labels != 0).astype(np.int32)
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(2, mcfg.vocab_size,
+                                              (bsz, seq_len)), jnp.int32),
+        "attn_mask": jnp.ones((bsz, seq_len), jnp.int32),
+        "labels": jnp.asarray(labels), "label_mask": jnp.asarray(lmask),
+        "pos_idx": jnp.asarray(np.arange(bsz, dtype=np.int32)),
+        "cand_idx": jnp.asarray(rng.integers(0, 64, (bsz, 5)), jnp.int32),
+        "cand_mask": jnp.ones((bsz, 5), bool),
+    }
+    store = jnp.asarray(rng.normal(size=(64, mcfg.encoder_d_model)),
+                        jnp.float32)
+    key = jax.random.PRNGKey(2)
+    t0 = time.perf_counter()
+    state, m = step_fn(state, batch, store, key)
+    _ = float(m["loss"])
+    log(f"train step compile: {time.perf_counter()-t0:.1f}s")
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step_fn(state, batch, store, key)
+    _ = float(m["loss"])        # blocks: loss is a scalar device->host read
+    ms = (time.perf_counter() - t0) / iters * 1e3
+    log(f"train step: {ms:.1f} ms (batch {bsz}, R-Drop 2x)")
+    return {"train_step_ms_b32": round(ms, 1)}
+
+
 def main() -> None:
     tiny = os.environ.get("GDR_BENCH_TINY") == "1"
     import jax
@@ -161,11 +389,35 @@ def main() -> None:
         f"({total*1e3:.1f} ms total); per-batch ms: "
         f"{np.array2string(lat_ms, precision=1)}")
 
+    # Pallas re-rank vs XLA gather: bit-exactness asserted as part of the
+    # recorded benchmark (round-1 claimed it only in docs)
+    extra = {}
+    if not tiny:
+        ev_xla = Evaluator(model, trie, store, ev_cfg, packed=True,
+                           use_pallas=False)
+        r_p, rr_p = evaluator.retrieve(params, input_ids[0], attn[0])
+        r_x, rr_x = ev_xla.retrieve(params, input_ids[0], attn[0])
+        diff = float(np.abs(np.asarray(rr_p.scores, np.float32)
+                            - np.asarray(rr_x.scores, np.float32)).max())
+        id_match = float((np.asarray(rr_p.doc_ids)
+                          == np.asarray(rr_x.doc_ids)).mean())
+        log(f"pallas vs xla rerank: max|Δscore|={diff:.3g} "
+            f"id_match={id_match:.4f}")
+        # rank-wise scores must agree tightly; individual ids may swap at
+        # exact ties (top-k tie-breaking differs between implementations)
+        assert diff < 1e-3, diff
+        extra["pallas_xla_max_score_diff"] = diff
+        extra["pallas_xla_id_match"] = round(id_match, 4)
+
+    extra.update(train_step_phase(tiny))
+    extra.update(quality_phase(tiny))
+
     print(json.dumps({
         "metric": "queries_per_sec_beam100_1chip",
         "value": round(qps, 2),
         "unit": "queries/s",
         "vs_baseline": round(qps / 50.0, 3),
+        **extra,
     }))
 
 

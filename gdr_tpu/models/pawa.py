@@ -71,13 +71,20 @@ class PawaLayer(nn.Module):
         h = self.ff2(nn.relu(self.ff1(x)))
         return self.ln3(x + self.drop(h, deterministic=deterministic))
 
+    def memory_out(self, memory: Array) -> Array:
+        """Cross-attention to a SINGLE memory token is query-independent:
+        softmax over one key is 1, so the sublayer output is exactly
+        ``o(v(memory))`` — a constant [1, 1, d] computed once per decode
+        instead of four projections per step."""
+        return self.cross_attn.o(self.cross_attn.v(memory))
+
     def decode_step(self, x_t: Array, cache_k: Array, cache_v: Array,
-                    memory: Array, pos: Array) -> tuple[Array, Array, Array]:
+                    mem_out: Array, pos: Array) -> tuple[Array, Array, Array]:
+        """``mem_out``: the precomputed :meth:`memory_out` constant."""
         h, cache_k, cache_v = self.self_attn.decode_step(
             x_t, cache_k, cache_v, pos, update_cache=True)
         x_t = self.ln1(x_t + h)
-        h = self.cross_attn(x_t, kv=memory, deterministic=True)
-        x_t = self.ln2(x_t + h)
+        x_t = self.ln2(x_t + mem_out)
         h = self.ff2(nn.relu(self.ff1(x_t)))
         return self.ln3(x_t + h), cache_k, cache_v
 
@@ -165,11 +172,12 @@ class FullPawaAdaptor(nn.Module):
     def decode_step(self, token: Array, cache: dict[str, Array],
                     pos: Array) -> tuple[Array, dict[str, Array]]:
         x = self.embed(token)[:, None]
-        mem = self._memory(x.shape[0])
+        mem = self._memory(1)
         cache = dict(cache)
         for i, layer in enumerate(self.layers):
             x, ck, cv = layer.decode_step(
-                x, cache[f"pawa_k_{i}"], cache[f"pawa_v_{i}"], mem, pos)
+                x, cache[f"pawa_k_{i}"], cache[f"pawa_v_{i}"],
+                layer.memory_out(mem), pos)
             cache[f"pawa_k_{i}"] = ck
             cache[f"pawa_v_{i}"] = cv
         return x * (self.d_model ** -0.5), cache
@@ -232,14 +240,13 @@ class PawaAdaptor(nn.Module):
     def decode_step(self, embed_t: Array, cache: dict[str, Array],
                     pos: Array) -> tuple[Array, dict[str, Array]]:
         """One incremental adaptor step.  embed_t: [B, 1, d]."""
-        b = embed_t.shape[0]
-        memory = jnp.broadcast_to(
-            self.memory.astype(self.dtype), (b, 1, self.d_model))
+        memory = self.memory.astype(self.dtype)          # [1, 1, d]
         cache = dict(cache)
         x = embed_t
         for i, layer in enumerate(self.layers):
             x, ck, cv = layer.decode_step(
-                x, cache[f"pawa_k_{i}"], cache[f"pawa_v_{i}"], memory, pos)
+                x, cache[f"pawa_k_{i}"], cache[f"pawa_v_{i}"],
+                layer.memory_out(memory), pos)
             cache[f"pawa_k_{i}"] = ck
             cache[f"pawa_v_{i}"] = cv
         return x, cache

@@ -188,16 +188,27 @@ class Attention(nn.Module):
         [B, K].  ``bias_row``: [1, H, 1, Lmax] relative bias for this step.
         Returns (out [B,1,d_model], cache_k, cache_v).
         """
-        q = self._split(self.q(x_t))                       # [B, H, 1, dk]
         if update_cache:
-            k_t = self._split(self.k(x_t))                 # [B, H, 1, dk]
-            v_t = self._split(self.v(x_t))
+            # fused QKV: one [rows, d]·[d, 3·inner] matmul instead of three —
+            # the decode step is dispatch/bandwidth-bound, not FLOPs-bound,
+            # so fewer+fatter matmuls win; the kernel concat is loop-
+            # invariant and hoisted out of the decode while_loop by XLA
+            w = jnp.concatenate(
+                [self.q.variables["params"]["kernel"],
+                 self.k.variables["params"]["kernel"],
+                 self.v.variables["params"]["kernel"]], axis=1)
+            inner = self.num_heads * self.d_kv
+            qkv = jnp.dot(x_t, w.astype(x_t.dtype))
+            q = self._split(qkv[..., :inner])
+            k_t = self._split(qkv[..., inner:2 * inner])
+            v_t = self._split(qkv[..., 2 * inner:])
             cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k_t, pos, axis=2)
             cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v_t, pos, axis=2)
             lmax = cache_k.shape[2]
             causal = (jnp.arange(lmax) <= pos)[None, None, None, :]
             mask = causal
         else:
+            q = self._split(self.q(x_t))                   # [B, H, 1, dk]
             mask = None
             if key_mask is not None:
                 mask = key_mask[:, None, None, :].astype(bool)
