@@ -169,6 +169,7 @@ class TrainConfig:
     bf16: bool = True                # bf16 compute (TPU-native AMP)
     checkpoint_dir: str = "checkpoints"
     save_top_k: int = 1
+    async_checkpointing: bool = False  # background orbax serialization
     monitor: str = "recall1"
     log_every_steps: int = 50
 

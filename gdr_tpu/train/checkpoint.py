@@ -19,8 +19,14 @@ from gdr_tpu.config import TrainConfig
 
 class CheckpointManager:
     def __init__(self, directory: str, monitor: str = "recall1",
-                 mode: str = "max", save_top_k: int = 1):
+                 mode: str = "max", save_top_k: int = 1,
+                 async_save: bool = False):
+        """``async_save``: serialize checkpoints on a background thread
+        (orbax async) so long stage-1 epochs never block on IO; ``save``
+        returns immediately and consistency is enforced at the next save /
+        restore / close."""
         self.monitor = monitor
+        self.async_save = async_save
         best_mode = "max" if mode == "max" else "min"
         options = ocp.CheckpointManagerOptions(
             max_to_keep=max(save_top_k, 1),
@@ -28,7 +34,7 @@ class CheckpointManager:
             if best_mode == "max"
             else (lambda metrics: metrics.get(monitor, float("inf"))),
             best_mode=best_mode,
-            enable_async_checkpointing=False,
+            enable_async_checkpointing=async_save,
         )
         import os
         self.mgr = ocp.CheckpointManager(os.path.abspath(directory),
@@ -52,12 +58,14 @@ class CheckpointManager:
                     ) -> "CheckpointManager":
         mode = "min" if cfg.monitor.endswith("loss") else "max"
         return cls(directory or cfg.checkpoint_dir, monitor=cfg.monitor,
-                   mode=mode, save_top_k=cfg.save_top_k)
+                   mode=mode, save_top_k=cfg.save_top_k,
+                   async_save=cfg.async_checkpointing)
 
     def save(self, step: int, state: Any, metrics: dict[str, float]) -> None:
         self.mgr.save(step, args=ocp.args.StandardSave(state),
                       metrics={k: float(v) for k, v in metrics.items()})
-        self.mgr.wait_until_finished()
+        if not self.async_save:
+            self.mgr.wait_until_finished()
 
     def save_preemption(self, step: int, state: Any) -> None:
         """Persist a resume point outside the best-k retention policy."""
@@ -66,6 +74,7 @@ class CheckpointManager:
         mgr.wait_until_finished()
 
     def restore_latest(self, template: Any) -> tuple[Optional[int], Any]:
+        self.mgr.wait_until_finished()       # flush any in-flight async save
         step = self.mgr.latest_step()
         import os
         p_step = (self._preempt_mgr().latest_step()
@@ -99,6 +108,7 @@ class CheckpointManager:
         return step, self.mgr.restore(step)
 
     def close(self) -> None:
+        self.mgr.wait_until_finished()
         self.mgr.close()
         if self._preempt is not None:
             self._preempt.close()

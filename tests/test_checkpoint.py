@@ -68,3 +68,18 @@ def test_preemption_tie_prefers_regular(tmp_path):
     assert step == 2
     np.testing.assert_allclose(np.asarray(restored["params"]["w"]), 2.0)
     mgr.close()
+
+
+def test_async_checkpointing_roundtrip(tmp_path):
+    """async_save: save returns without blocking; restore flushes the
+    in-flight write and reads back the same state."""
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), monitor="recall1",
+                            mode="max", save_top_k=2, async_save=True)
+    mgr.save(1, _state(1.0), {"recall1": 0.2})
+    mgr.save(2, _state(2.0), {"recall1": 0.7})
+    step, restored = mgr.restore_latest(_state(0.0))
+    assert step == 2
+    np.testing.assert_allclose(np.asarray(restored["params"]["w"]), 2.0)
+    step, best = mgr.restore_best(_state(0.0))
+    assert step == 2
+    mgr.close()
