@@ -150,6 +150,21 @@ def quality_phase(tiny: bool) -> dict:
                                   input_len=seq_len)
     step_fn = make_train_step(model, None, opt, cfg, stage=1)
 
+    # cache the trained checkpoint between bench runs (training dominates
+    # the quality phase's wall clock; the numbers are deterministic given
+    # this key) — delete .bench_cache to force a retrain
+    import flax.serialization as fser
+    ck_key = (f"q2_{n_docs}_{dim}_{kary}_{leaf_cap}_{epochs}_{bsz}_{lr}"
+              f"_{mcfg.d_model}_{mcfg.num_layers}")
+    ck_dir = os.path.join(os.path.dirname(__file__), ".bench_cache")
+    ck_file = os.path.join(ck_dir, ck_key + ".msgpack")
+    if os.path.exists(ck_file):
+        with open(ck_file, "rb") as f:
+            params = fser.from_bytes(state.params, f.read())
+        state = state.replace(params=jax.device_put(params))
+        log(f"quality: restored trained checkpoint ({ck_key})")
+        epochs = 0
+
     # candidate pools for the contrastive loss
     by_cid: dict[str, list[int]] = {}
     for d, c in enumerate(cid_of_doc):
@@ -183,8 +198,14 @@ def quality_phase(tiny: bool) -> dict:
             log(f"quality: epoch {ep} loss {last:.3f} "
                 f"(ce {float(m['ce']):.3f} "
                 f"contrast {float(m['contrast_loss']):.3f})")
-    log(f"quality: trained {epochs} epochs on {len(train_pos)} queries "
-        f"({time.perf_counter()-t0:.1f}s, final loss {last:.3f})")
+    if epochs:
+        log(f"quality: trained {epochs} epochs on {len(train_pos)} queries "
+            f"({time.perf_counter()-t0:.1f}s, final loss {last:.3f})")
+        if not tiny:
+            os.makedirs(ck_dir, exist_ok=True)
+            with open(ck_file, "wb") as f:
+                f.write(fser.to_bytes(jax.device_get(state.params)))
+            log(f"quality: cached trained checkpoint ({ck_key})")
 
     beams = 10 if tiny else 64
     ev = Evaluator(model, trie, store,

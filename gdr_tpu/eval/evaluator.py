@@ -71,6 +71,14 @@ class Evaluator:
             self.store = place_store(np.asarray(store), mesh)
         else:
             self.store = jnp.asarray(store)
+        # every root-to-cluster path ends by the trie's max depth, so the
+        # decode needs at most depth+1 steps (digits + EOS) — sizing the
+        # KV caches / beam state to that instead of the configured
+        # max_output_length (the reference fixes 10, infer.sh:7) cuts the
+        # decode's attention and reorder traffic by Lmax/depth with
+        # identical results (positional token ids don't depend on L).
+        self._max_len = min(cfg.max_output_length,
+                            int(trie.depth.max()) + 1)
         self._children = jnp.asarray(trie.children)
         self._eos = jnp.asarray(trie.eos_allowed)
         self._cluster_of_node = jnp.asarray(trie.cluster_of_node)
@@ -92,9 +100,12 @@ class Evaluator:
         self._retrieve_many = jax.jit(_many_impl)
 
     def _per_beam_decoder_query(self, params, res, enc, attn_mask):
-        """Decoder-side query reps: re-run the generated sequences through
-        the decoder and pool per beam (ref main_models.py:1464-1571,
-        use_query_embed_decoder_avg / _special).  Returns [B, K, d']."""
+        """Decoder-side query reps the slow way: re-run the generated
+        sequences through the decoder and pool per beam (literally what the
+        reference does, main_models.py:1464-1571).  The production path pools
+        the same states inside the beam carry (ops/beam.py
+        accumulate_hidden); this re-run is kept as the parity oracle for it
+        (tests/test_beam.py).  Returns [B, K, d']."""
         cfg = self.cfg
         b, k, lp1 = res.sequences.shape
         L = lp1 - 1
@@ -117,22 +128,30 @@ class Evaluator:
                        eos, cluster_of_node, cluster_docs, cluster_doc_mask,
                        alphas):
         cfg = self.cfg
+        want_dec = (cfg.use_query_embed_decoder_avg
+                    or cfg.use_query_embed_decoder_special)
         if cfg.gen_method in ("sample", "top_k"):
             from gdr_tpu.ops.beam import sample_cids
             res, q_emb, enc = sample_cids(
                 self.model, params, input_ids, attn_mask, children, eos,
-                cfg.num_beams, cfg.max_output_length,
+                cfg.num_beams, self._max_len,
                 jax.random.PRNGKey(cfg.sample_seed),
                 temperature=cfg.temperature, top_k=cfg.sample_top_k,
-                length_penalty=cfg.length_penalty)
+                length_penalty=cfg.length_penalty,
+                accumulate_hidden=want_dec)
         else:   # "beam" (the reference's "greedy" mode is also beam search)
             res, q_emb, enc = generate_cids(
                 self.model, params, input_ids, attn_mask, children,
-                eos, cfg.num_beams, cfg.max_output_length,
-                cfg.length_penalty)
-        if (cfg.use_query_embed_decoder_avg
-                or cfg.use_query_embed_decoder_special):
-            q_dec = self._per_beam_decoder_query(params, res, enc, attn_mask)
+                eos, cfg.num_beams, self._max_len,
+                cfg.length_penalty, accumulate_hidden=want_dec)
+        if want_dec:
+            # decoder-side reps pooled inside the beam carry — no B·K
+            # teacher-forced re-run (the round-1 eval hot spot)
+            pooled = (res.hid_last if cfg.use_query_embed_decoder_special
+                      else res.hid_avg)
+            q_dec = self.model.apply(params, pooled,
+                                     method=self.model.project_query)
+            res = res.replace(hid_avg=None, hid_last=None)
             if cfg.use_query_embed_encoder:
                 if cfg.fusion_strategy == "concate":
                     # learned fusion over the concatenation

@@ -276,8 +276,8 @@ class GenerativeRetriever(nn.Module):
 
     def decode_step_candidates(self, token: Array, cache: dict[str, Array],
                                enc_mask: Array, pos: Array,
-                               num_beams: int = 1
-                               ) -> tuple[Array, dict[str, Array]]:
+                               num_beams: int = 1,
+                               return_hidden: bool = False):
         """Decode fast path: logits for ONLY the step's candidate tokens.
 
         With the positional codec, position ``pos`` can emit exactly the
@@ -288,7 +288,11 @@ class GenerativeRetriever(nn.Module):
         equals full-vocab softmax restricted to them, because the positional
         mask (ref modeling_t5.py:1279-1301) makes every other column −1e9.
 
-        Returns candidate logits [B·K, kary+1] (digits…, EOS) and the cache.
+        Returns candidate logits [B·K, kary+1] (digits…, EOS) and the cache;
+        with ``return_hidden`` also the raw decoder hidden state [B·K, d]
+        (post final-norm, pre d^-0.5 scaling) so the beam search can pool
+        decoder-side query representations in its carry instead of re-running
+        the decoder over every finished beam (ref main_models.py:1464-1571).
         """
         c = self.cfg
         kary = c.kary
@@ -316,6 +320,8 @@ class GenerativeRetriever(nn.Module):
         last = pos >= c.max_output_length - 1
         digit_mask = jnp.where(last, -1e9, 0.0)
         cand = cand.at[:, :kary].add(digit_mask)
+        if return_hidden:
+            return cand, hidden[:, 0], cache
         return cand, cache
 
 

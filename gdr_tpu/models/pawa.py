@@ -160,13 +160,14 @@ class FullPawaAdaptor(nn.Module):
         return out[:, 0] if single else out
 
     def init_cache(self, batch: int, max_len: int) -> dict[str, Array]:
-        d_kv = self.d_model // self.num_heads
+        # time-major [Lmax, rows, d] — tile-padding-free (see
+        # models/t5.py Attention.decode_step)
         cache = {}
         for i in range(self.num_layers):
-            cache[f"pawa_k_{i}"] = jnp.zeros(
-                (batch, self.num_heads, max_len, d_kv), self.dtype)
-            cache[f"pawa_v_{i}"] = jnp.zeros(
-                (batch, self.num_heads, max_len, d_kv), self.dtype)
+            cache[f"tm_pawa_k_{i}"] = jnp.zeros(
+                (max_len, batch, self.d_model), self.dtype)
+            cache[f"tm_pawa_v_{i}"] = jnp.zeros(
+                (max_len, batch, self.d_model), self.dtype)
         return cache
 
     def decode_step(self, token: Array, cache: dict[str, Array],
@@ -176,10 +177,10 @@ class FullPawaAdaptor(nn.Module):
         cache = dict(cache)
         for i, layer in enumerate(self.layers):
             x, ck, cv = layer.decode_step(
-                x, cache[f"pawa_k_{i}"], cache[f"pawa_v_{i}"],
+                x, cache[f"tm_pawa_k_{i}"], cache[f"tm_pawa_v_{i}"],
                 layer.memory_out(mem), pos)
-            cache[f"pawa_k_{i}"] = ck
-            cache[f"pawa_v_{i}"] = cv
+            cache[f"tm_pawa_k_{i}"] = ck
+            cache[f"tm_pawa_v_{i}"] = cv
         return x * (self.d_model ** -0.5), cache
 
 
@@ -228,13 +229,14 @@ class PawaAdaptor(nn.Module):
         return x
 
     def init_cache(self, batch: int, max_len: int) -> dict[str, Array]:
-        d_kv = self.d_model // self.num_heads
+        # time-major [Lmax, rows, d] — tile-padding-free (see
+        # models/t5.py Attention.decode_step)
         cache = {}
         for i in range(self.num_layers):
-            cache[f"pawa_k_{i}"] = jnp.zeros(
-                (batch, self.num_heads, max_len, d_kv), self.dtype)
-            cache[f"pawa_v_{i}"] = jnp.zeros(
-                (batch, self.num_heads, max_len, d_kv), self.dtype)
+            cache[f"tm_pawa_k_{i}"] = jnp.zeros(
+                (max_len, batch, self.d_model), self.dtype)
+            cache[f"tm_pawa_v_{i}"] = jnp.zeros(
+                (max_len, batch, self.d_model), self.dtype)
         return cache
 
     def decode_step(self, embed_t: Array, cache: dict[str, Array],
@@ -245,10 +247,10 @@ class PawaAdaptor(nn.Module):
         x = embed_t
         for i, layer in enumerate(self.layers):
             x, ck, cv = layer.decode_step(
-                x, cache[f"pawa_k_{i}"], cache[f"pawa_v_{i}"],
+                x, cache[f"tm_pawa_k_{i}"], cache[f"tm_pawa_v_{i}"],
                 layer.memory_out(memory), pos)
-            cache[f"pawa_k_{i}"] = ck
-            cache[f"pawa_v_{i}"] = cv
+            cache[f"tm_pawa_k_{i}"] = ck
+            cache[f"tm_pawa_v_{i}"] = cv
         return x, cache
 
     def delta_logits(self, adaptor_out: Array, decoder_out: Array) -> Array:

@@ -181,11 +181,19 @@ class Attention(nn.Module):
                     update_cache: bool = True) -> tuple[Array, Array, Array]:
         """One-token attention against a cache.
 
-        x_t: [B, 1, d_model]; cache_[kv]: [B, H, Lmax, d_kv]; pos: scalar int.
-        If ``update_cache``, the new token's k/v are written at ``pos`` and
-        attention spans positions ≤ pos (causal self-attention).  Otherwise
-        the cache is a fixed cross-attention source masked by ``key_mask``
-        [B, K].  ``bias_row``: [1, H, 1, Lmax] relative bias for this step.
+        x_t: [B, 1, d_model]; pos: scalar int.
+        If ``update_cache`` (causal self-attention), the cache is
+        **time-major** ``[Lmax, rows, H·d_kv]`` — last dim a lane multiple
+        and rows a sublane multiple, so the buffer carries ZERO physical
+        tile padding.  (The naive ``[rows, H, Lmax, d_kv]`` layout pads its
+        last two dims to the (16, 128) bf16 tile — up to 8× the HBM
+        footprint and traffic, which made cache reads/reorders dominate the
+        beam step; benchmarks/profile_reorder.py.)  The new token's k/v are
+        written at ``pos`` and attention spans positions ≤ pos.
+
+        Otherwise the cache is a fixed cross-attention source
+        [B, H, S, d_kv] masked by ``key_mask`` [B, S].
+        ``bias_row``: [1, H, 1, Lmax] relative bias for this step.
         Returns (out [B,1,d_model], cache_k, cache_v).
         """
         if update_cache:
@@ -198,20 +206,30 @@ class Attention(nn.Module):
                  self.k.variables["params"]["kernel"],
                  self.v.variables["params"]["kernel"]], axis=1)
             inner = self.num_heads * self.d_kv
-            qkv = jnp.dot(x_t, w.astype(x_t.dtype))
-            q = self._split(qkv[..., :inner])
-            k_t = self._split(qkv[..., inner:2 * inner])
-            v_t = self._split(qkv[..., 2 * inner:])
-            cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k_t, pos, axis=2)
-            cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v_t, pos, axis=2)
-            lmax = cache_k.shape[2]
-            causal = (jnp.arange(lmax) <= pos)[None, None, None, :]
-            mask = causal
-        else:
-            q = self._split(self.q(x_t))                   # [B, H, 1, dk]
-            mask = None
-            if key_mask is not None:
-                mask = key_mask[:, None, None, :].astype(bool)
+            qkv = jnp.dot(x_t[:, 0], w.astype(x_t.dtype))  # [rows, 3·inner]
+            q = qkv[:, :inner].reshape(-1, self.num_heads, self.d_kv)
+            cache_k = jax.lax.dynamic_update_slice_in_dim(
+                cache_k, qkv[None, :, inner:2 * inner], pos, axis=0)
+            cache_v = jax.lax.dynamic_update_slice_in_dim(
+                cache_v, qkv[None, :, 2 * inner:], pos, axis=0)
+            lmax = cache_k.shape[0]
+            k = cache_k.reshape(lmax, -1, self.num_heads, self.d_kv)
+            v = cache_v.reshape(lmax, -1, self.num_heads, self.d_kv)
+            scores = jnp.einsum("rhd,lrhd->rhl", q, k,
+                                preferred_element_type=jnp.float32)
+            if bias_row is not None:
+                # [1, H, 1, L] → [1, H, L], broadcast over rows
+                scores = scores + bias_row[0, :, 0][None].astype(jnp.float32)
+            causal = jnp.arange(lmax) <= pos
+            scores = jnp.where(causal[None, None, :], scores, NEG_INF)
+            probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+            out = jnp.einsum("rhl,lrhd->rhd", probs, v)
+            out = out.reshape(-1, 1, inner)
+            return self.o(out), cache_k, cache_v
+        q = self._split(self.q(x_t))                       # [B, H, 1, dk]
+        mask = None
+        if key_mask is not None:
+            mask = key_mask[:, None, None, :].astype(bool)
         out = self._attend(q, cache_k, cache_v, mask, bias_row, True)
         return out, cache_k, cache_v
 
@@ -417,18 +435,19 @@ class Decoder(nn.Module):
         (batch·num_beams rows) and cross-attention k/v projected once per
         *query* from the un-expanded encoder output.
 
-        Convention: keys starting with ``cross_`` are beam-invariant — the
-        beam search must not gather them on beam reorder.
+        Conventions: keys starting with ``cross_`` are beam-invariant — the
+        beam search must not gather them on beam reorder; keys starting with
+        ``tm_`` are **time-major** [Lmax, rows, features] (tile-padding-free,
+        see :meth:`Attention.decode_step`) and are reordered along axis 1.
         """
         cache = {}
+        inner = self.num_heads * self.d_kv
         for i, blk in enumerate(self.blocks):
             ck, cv = blk.cross_attn.precompute_kv(enc)
-            cache[f"self_k_{i}"] = jnp.zeros(
-                (batch * num_beams, self.num_heads, max_len, self.d_kv),
-                self.dtype)
-            cache[f"self_v_{i}"] = jnp.zeros(
-                (batch * num_beams, self.num_heads, max_len, self.d_kv),
-                self.dtype)
+            cache[f"tm_self_k_{i}"] = jnp.zeros(
+                (max_len, batch * num_beams, inner), self.dtype)
+            cache[f"tm_self_v_{i}"] = jnp.zeros(
+                (max_len, batch * num_beams, inner), self.dtype)
             cache[f"cross_k_{i}"] = ck
             cache[f"cross_v_{i}"] = cv
         return cache
@@ -438,16 +457,16 @@ class Decoder(nn.Module):
                     ) -> tuple[Array, dict[str, Array]]:
         """One decode step.  x_t: [B·K, 1, d] embedded token at position pos;
         enc_mask: [B, S] (per query, un-expanded)."""
-        lmax = cache["self_k_0"].shape[2]
+        lmax = cache["tm_self_k_0"].shape[0]
         bias_row = self.rel_bias(1, lmax, q_offset=pos)    # [1, H, 1, Lmax]
         cross_bias_row = self.cross_rel_bias(
             1, cache["cross_k_0"].shape[2], q_offset=pos)  # [1, H, 1, S]
         cache = dict(cache)
         for i, blk in enumerate(self.blocks):
             x_t, sk, sv = blk.decode_step(
-                x_t, cache[f"self_k_{i}"], cache[f"self_v_{i}"],
+                x_t, cache[f"tm_self_k_{i}"], cache[f"tm_self_v_{i}"],
                 cache[f"cross_k_{i}"], cache[f"cross_v_{i}"], enc_mask,
                 pos, bias_row, num_beams, cross_bias_row)
-            cache[f"self_k_{i}"] = sk
-            cache[f"self_v_{i}"] = sv
+            cache[f"tm_self_k_{i}"] = sk
+            cache[f"tm_self_v_{i}"] = sv
         return self.final_norm(x_t), cache

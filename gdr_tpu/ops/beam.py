@@ -47,14 +47,57 @@ NEG_INF = -1.0e9
 StepFn = Callable
 
 
-def _reorder_cache(cache, src: Array):
-    """Gather cache rows by source-beam index; ``cross_*`` entries are
-    per-query (beam-invariant) and stay untouched."""
+def _select_rows(x: Array, src: Array, beam_idx: Array, in_w: int) -> Array:
+    """Reorder per-beam rows by source beam.
+
+    Float buffers go through a **block-diagonal one-hot matmul** on the MXU
+    (per query: [out_w, in_w] · [in_w, features]) instead of a row gather —
+    XLA lowers per-row gathers of KV-cache-sized buffers ~10× slower than
+    streaming reads on TPU, and the reorder gather measured ~20 ms of the
+    ~25 ms full-width beam step at B=32·K=100 (benchmarks/profile_decode.py).
+    The matmul is exact: each output row is a sum with exactly one nonzero
+    (one-hot) coefficient.  Non-float buffers fall back to the gather.
+
+    ``src``: flat row indices [B·out_w]; ``beam_idx``: per-query source beam
+    [B, out_w] with values < in_w.
+    """
+    if x.dtype not in (jnp.bfloat16, jnp.float32, jnp.float16):
+        return x[src]
+    b, out_w = beam_idx.shape
+    onehot = jax.nn.one_hot(beam_idx, in_w, dtype=x.dtype)
+    flat = x.reshape(b, in_w, -1)
+    out = jnp.einsum("bki,bif->bkf", onehot, flat,
+                     preferred_element_type=x.dtype)
+    return out.reshape((b * out_w,) + x.shape[1:])
+
+
+def _select_rows_tm(x: Array, src: Array, beam_idx: Array, in_w: int
+                    ) -> Array:
+    """Row reorder for time-major buffers [L, rows, ...] (axis 1)."""
+    if x.dtype not in (jnp.bfloat16, jnp.float32, jnp.float16):
+        return x[:, src]
+    b, out_w = beam_idx.shape
+    l = x.shape[0]
+    onehot = jax.nn.one_hot(beam_idx, in_w, dtype=x.dtype)
+    flat = x.reshape(l, b, in_w, -1)
+    out = jnp.einsum("bki,lbif->lbkf", onehot, flat,
+                     preferred_element_type=x.dtype)
+    return out.reshape((l, b * out_w) + x.shape[2:])
+
+
+def _reorder_cache(cache, src: Array, beam_idx: Array, in_w: int):
+    """Reorder cache rows by source-beam index; ``cross_*`` entries are
+    per-query (beam-invariant) and stay untouched; ``tm_*`` entries are
+    time-major [L, rows, ...] and reorder along axis 1."""
 
     def f(path, x):
         last = path[-1]
         name = str(getattr(last, "key", last))
-        return x if name.startswith("cross_") else x[src]
+        if name.startswith("cross_"):
+            return x
+        if name.startswith("tm_"):
+            return _select_rows_tm(x, src, beam_idx, in_w)
+        return _select_rows(x, src, beam_idx, in_w)
 
     return jax.tree_util.tree_map_with_path(f, cache)
 
@@ -66,16 +109,37 @@ class BeamResult:
     cum_logprobs: Array  # [B, K] float32
     nodes: Array         # [B, K] int32 — trie node at which each beam ended (cluster)
     valid: Array         # [B, K] bool — False for beams that ran out of paths
+    # pooled decoder hidden states per beam (accumulate_hidden=True):
+    # mean over the beam's decoder inputs / the last input's state — the
+    # decoder_avg / decoder_special query reps (ref main_models.py:1464-1571)
+    # without re-running the decoder over B·K finished sequences.
+    hid_avg: Array | None = None    # [B, K, d] float32
+    hid_last: Array | None = None   # [B, K, d] float32
 
 
 def _beam_step(carry, pos, step_fn, batch: int, in_w: int, out_w: int,
                kary: int, children: Array, eos_allowed: Array,
-               candidates_mode: bool):
+               candidates_mode: bool, accumulate: bool = False):
     """One constrained search step: B·in_w beams → B·out_w beams."""
-    tokens, node, scores, finished, eos_pos, cur_tok, cache = carry
+    tokens, node, scores, finished, eos_pos, cur_tok, acc, cache = carry
     bk = batch * in_w
     n_opt = kary + 1
-    out, cache = step_fn(cur_tok, cache, pos, in_w)
+    if accumulate:
+        # pool the decoder hidden of this step's INPUT token into the carry;
+        # the pool covers the start token (pos 0), every digit, and the EOS
+        # input of beams finishing before the final position — exactly the
+        # positions the teacher-forced re-run masks in (evaluator
+        # _per_beam_decoder_query, ref main_models.py:1464-1571)
+        out, hidden, cache = step_fn(cur_tok, cache, pos, in_w)
+        hid_sum, hid_cnt, hid_last = acc
+        do = (cur_tok != PAD_ID) | (pos == 0)
+        h32 = hidden.astype(jnp.float32)
+        hid_sum = hid_sum + jnp.where(do[:, None], h32, 0.0)
+        hid_cnt = hid_cnt + do.astype(jnp.int32)
+        hid_last = jnp.where(do[:, None], h32, hid_last)
+        acc = (hid_sum, hid_cnt, hid_last)
+    else:
+        out, cache = step_fn(cur_tok, cache, pos, in_w)
     logp = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
     if candidates_mode:                                     # [BK, kary+1]
         digit_logp = logp[:, :kary]
@@ -122,13 +186,15 @@ def _beam_step(carry, pos, step_fn, batch: int, in_w: int, out_w: int,
     eos_pos = jnp.where(is_eos, pos, eos_pos_g)
     tokens = jax.lax.dynamic_update_slice(
         tokens, new_tok[:, None], (0, pos + 1))
-    cache = _reorder_cache(cache, src)
+    cache = _reorder_cache(cache, src, beam_idx, in_w)
+    if accumulate:
+        acc = tuple(_select_rows(a, src, beam_idx, in_w) for a in acc)
     scores = top_scores.reshape(-1)
-    return (tokens, node, scores, finished, eos_pos, new_tok, cache)
+    return (tokens, node, scores, finished, eos_pos, new_tok, acc, cache)
 
 
 def _finalize(tokens, node, scores, eos_pos, batch: int, num_beams: int,
-              length_penalty: float) -> BeamResult:
+              length_penalty: float, acc=None) -> BeamResult:
     gen_len = (eos_pos + 1).astype(jnp.float32)
     norm = scores / jnp.power(gen_len, length_penalty)
     valid = scores > NEG_INF / 2
@@ -141,6 +207,18 @@ def _finalize(tokens, node, scores, eos_pos, batch: int, num_beams: int,
     def sort2(x):
         return take(x.reshape(batch, num_beams), order, axis=1)
 
+    hid_avg = hid_last = None
+    if acc is not None:
+        hid_sum, hid_cnt, hid_raw = acc
+        d = hid_sum.shape[-1]
+
+        def sort3(x):
+            return take(x.reshape(batch, num_beams, d),
+                        order[:, :, None], axis=1)
+
+        hid_avg = sort3(hid_sum / jnp.maximum(hid_cnt, 1)[:, None])
+        hid_last = sort3(hid_raw)
+
     return BeamResult(
         sequences=take(tokens.reshape(batch, num_beams, -1),
                        order[:, :, None], axis=1),
@@ -148,6 +226,8 @@ def _finalize(tokens, node, scores, eos_pos, batch: int, num_beams: int,
         cum_logprobs=sort2(scores),
         nodes=sort2(node),
         valid=sort2(valid),
+        hid_avg=hid_avg,
+        hid_last=hid_last,
     )
 
 
@@ -166,7 +246,8 @@ def beam_search(step_fn: StepFn, cache: dict, batch: int, num_beams: int,
                 length_penalty: float = 1.0,
                 early_exit: bool = True,
                 candidates_mode: bool = False,
-                progressive: bool = False) -> BeamResult:
+                progressive: bool = False,
+                accumulate_hidden: int = 0) -> BeamResult:
     """Run the constrained search.
 
     ``children``: int32 [N, kary] (-1 = absent); ``eos_allowed``: bool [N].
@@ -186,6 +267,15 @@ def beam_search(step_fn: StepFn, cache: dict, batch: int, num_beams: int,
     [B·w, kary+1] (digits…, EOS; position validity applied) instead of
     full-vocab logits — the decode fast path.  Softmax over the candidate
     block equals the positional-masked full-vocab softmax on its support.
+
+    ``accumulate_hidden``: when > 0 (the decoder hidden width d), ``step_fn``
+    must return ``(logits, hidden [B·w, d], cache)`` and the search pools the
+    hidden states of each beam's inputs in its carry, returning ``hid_avg`` /
+    ``hid_last`` on the result — the decoder_avg / decoder_special query reps
+    without the B·K teacher-forced re-run.  The early-exit loop then runs one
+    extra step after the last beam finishes (within ``max_len``) so the
+    EOS input's state enters the pool, matching the re-run's ``:L``-truncated
+    mask semantics.
     """
     bk0 = batch * (1 if progressive else num_beams)
 
@@ -200,7 +290,12 @@ def beam_search(step_fn: StepFn, cache: dict, batch: int, num_beams: int,
     finished = jnp.zeros((bk0,), bool)
     eos_pos = jnp.full((bk0,), max_len - 1, jnp.int32)
     cur_tok = jnp.full((bk0,), PAD_ID, jnp.int32)
-    carry = (tokens, node, scores, finished, eos_pos, cur_tok, cache)
+    accumulate = accumulate_hidden > 0
+    acc = ((jnp.zeros((bk0, accumulate_hidden), jnp.float32),
+            jnp.zeros((bk0,), jnp.int32),
+            jnp.zeros((bk0, accumulate_hidden), jnp.float32))
+           if accumulate else ())
+    carry = (tokens, node, scores, finished, eos_pos, cur_tok, acc, cache)
 
     pos0 = 0
     if progressive:
@@ -215,19 +310,26 @@ def beam_search(step_fn: StepFn, cache: dict, batch: int, num_beams: int,
             out_w = min(w * (kary + 1), num_beams)
             carry = _beam_step(carry, jnp.asarray(pos, jnp.int32), step_fn,
                                batch, w, out_w, kary, children, eos_allowed,
-                               candidates_mode)
+                               candidates_mode, accumulate)
             pos0 = pos + 1
 
     def full_step(carry, pos):
         return _beam_step(carry, pos, step_fn, batch, num_beams, num_beams,
-                          kary, children, eos_allowed, candidates_mode)
+                          kary, children, eos_allowed, candidates_mode,
+                          accumulate)
 
     if pos0 < max_len:
         if early_exit:
             def cond(state):
                 pos, c = state
                 alive = ~c[3] & (c[2] > NEG_INF / 2)
-                return (pos < max_len) & jnp.any(alive)
+                run = jnp.any(alive)
+                if accumulate:
+                    # beams whose pending input is EOS still owe the pool
+                    # one state — run one more step for them
+                    run = run | jnp.any((c[5] == EOS_ID)
+                                        & (c[2] > NEG_INF / 2))
+                return (pos < max_len) & run
 
             def body(state):
                 pos, c = state
@@ -242,15 +344,16 @@ def beam_search(step_fn: StepFn, cache: dict, batch: int, num_beams: int,
             carry, _ = jax.lax.scan(scan_step, carry,
                                     jnp.arange(pos0, max_len))
 
-    tokens, node, scores, finished, eos_pos, _, _ = carry
+    tokens, node, scores, finished, eos_pos, _, acc, _ = carry
     return _finalize(tokens, node, scores, eos_pos, batch, num_beams,
-                     length_penalty)
+                     length_penalty, acc if accumulate else None)
 
 
 def sample_cids(model, params, input_ids: Array, attn_mask: Array,
                 children: Array, eos_allowed: Array, num_samples: int,
                 max_len: int, rng: Array, temperature: float = 1.0,
-                top_k: int = 0, length_penalty: float = 1.0
+                top_k: int = 0, length_penalty: float = 1.0,
+                accumulate_hidden: bool = False
                 ) -> tuple[BeamResult, Array, Array]:
     """Stochastic CID decoding — the reference's ``gen_method top_k`` /
     ``do_sample`` inference modes (main.py:189-204) as one compiled program.
@@ -277,6 +380,7 @@ def sample_cids(model, params, input_ids: Array, attn_mask: Array,
 
     def step_fn(cur_tok, cache, pos, width):
         return model.apply(params, cur_tok, cache, attn_mask, pos, width,
+                           accumulate_hidden,
                            method=model.decode_step_candidates)
 
     bk = batch * num_samples
@@ -286,11 +390,24 @@ def sample_cids(model, params, input_ids: Array, attn_mask: Array,
     finished = jnp.zeros((bk,), bool)
     eos_pos = jnp.full((bk,), max_len - 1, jnp.int32)
     cur_tok = jnp.full((bk,), PAD_ID, jnp.int32)
+    acc = ((jnp.zeros((bk, model.cfg.d_model), jnp.float32),
+            jnp.zeros((bk,), jnp.int32),
+            jnp.zeros((bk, model.cfg.d_model), jnp.float32))
+           if accumulate_hidden else ())
 
     def body(carry, pos_and_key):
         pos, key = pos_and_key
-        tokens, node, scores, finished, eos_pos, cur_tok, cache = carry
-        out, cache = step_fn(cur_tok, cache, pos, num_samples)
+        tokens, node, scores, finished, eos_pos, cur_tok, acc, cache = carry
+        if accumulate_hidden:
+            out, hidden, cache = step_fn(cur_tok, cache, pos, num_samples)
+            hid_sum, hid_cnt, hid_last = acc
+            do = (cur_tok != PAD_ID) | (pos == 0)
+            h32 = hidden.astype(jnp.float32)
+            acc = (hid_sum + jnp.where(do[:, None], h32, 0.0),
+                   hid_cnt + do.astype(jnp.int32),
+                   jnp.where(do[:, None], h32, hid_last))
+        else:
+            out, cache = step_fn(cur_tok, cache, pos, num_samples)
         logp = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
         ch = children[node]                                  # [BK, kary]
         ok = jnp.concatenate([ch >= 0, eos_allowed[node][:, None]], axis=1)
@@ -314,22 +431,24 @@ def sample_cids(model, params, input_ids: Array, attn_mask: Array,
         finished = finished | is_eos
         tokens = jax.lax.dynamic_update_slice(
             tokens, new_tok[:, None], (0, pos + 1))
-        return (tokens, node, scores, finished, eos_pos, new_tok, cache), None
+        return (tokens, node, scores, finished, eos_pos, new_tok, acc,
+                cache), None
 
     keys = jax.random.split(rng, max_len)
-    carry = (tokens, node, scores, finished, eos_pos, cur_tok, cache)
+    carry = (tokens, node, scores, finished, eos_pos, cur_tok, acc, cache)
     carry, _ = jax.lax.scan(body, carry,
                             (jnp.arange(max_len, dtype=jnp.int32), keys))
     tokens, node, scores, finished, eos_pos = carry[:5]
     result = _finalize(tokens, node, scores, eos_pos, batch, num_samples,
-                       length_penalty)
+                       length_penalty, carry[6] if accumulate_hidden else None)
     return result, query_emb, enc
 
 
 def generate_cids(model, params, input_ids: Array, attn_mask: Array,
                   children: Array, eos_allowed: Array, num_beams: int,
                   max_len: int, length_penalty: float = 1.0,
-                  progressive: bool = True
+                  progressive: bool = True,
+                  accumulate_hidden: bool = False
                   ) -> tuple[BeamResult, Array, Array]:
     """Encode queries once and run the constrained search with progressive
     beam widening.
@@ -345,6 +464,11 @@ def generate_cids(model, params, input_ids: Array, attn_mask: Array,
     enc = model.apply(params, input_ids, attn_mask, method=model.encode)
     query_emb = model.apply(params, enc, method=model.query_embedding)
 
+    # progressive widening needs the warmup to reach full width within
+    # max_len-1 steps; fall back to fixed width on shallow tries
+    if progressive and num_beams > (model.cfg.kary + 1) ** max(max_len - 1, 0):
+        progressive = False
+
     # cross K/V are projected once per query; self/PAWA caches start at the
     # initial beam width and grow with the warmup reorders
     init_beams = 1 if progressive else num_beams
@@ -353,10 +477,13 @@ def generate_cids(model, params, input_ids: Array, attn_mask: Array,
 
     def step_fn(cur_tok, cache, pos, width):
         return model.apply(params, cur_tok, cache, attn_mask, pos, width,
+                           accumulate_hidden,
                            method=model.decode_step_candidates)
 
     result = beam_search(step_fn, cache, batch, num_beams,
                          model.cfg.kary, max_len, children, eos_allowed,
                          length_penalty, candidates_mode=True,
-                         progressive=progressive)
+                         progressive=progressive,
+                         accumulate_hidden=(model.cfg.d_model
+                                            if accumulate_hidden else 0))
     return result, query_emb, enc

@@ -291,3 +291,55 @@ def test_sample_cids_low_temperature_matches_greedy(toy):
             np.testing.assert_array_equal(
                 np.asarray(samp.sequences)[b, s],
                 np.asarray(beam.sequences)[b, 0])
+
+
+def test_accumulated_hidden_matches_rerun_oracle(toy):
+    """accumulate_hidden pools, inside the beam carry, exactly the decoder
+    states the teacher-forced re-run (the reference's way,
+    main_models.py:1464-1571) would pool — for both decoder_avg and
+    decoder_special, including full-depth beams whose EOS input falls
+    outside the re-run's :L truncation."""
+    import dataclasses
+    from gdr_tpu.config import tiny_config
+    from gdr_tpu.eval.evaluator import Evaluator
+    from gdr_tpu.models.gdr import GenerativeRetriever, init_params
+    from gdr_tpu.ops.beam import generate_cids, sample_cids
+
+    trie, _table, _mask = toy
+    base = tiny_config(kary=KARY, max_output_length=MAX_LEN)
+    cfg = dataclasses.replace(base.model, dropout_rate=0.0)
+    model = GenerativeRetriever(cfg)
+    params = init_params(model, jax.random.PRNGKey(0), input_len=6)
+    ids = jnp.asarray(np.random.default_rng(9).integers(2, 100, (3, 6)),
+                      jnp.int32)
+    mask = jnp.ones_like(ids)
+    ch, eos = jnp.asarray(trie.children), jnp.asarray(trie.eos_allowed)
+    store = np.random.default_rng(1).normal(
+        size=(trie.doc_indices.max() + 1, cfg.encoder_d_model)
+    ).astype(np.float32)
+
+    for gen in ("beam", "sample"):
+        if gen == "beam":
+            res, _q, enc = generate_cids(model, params, ids, mask, ch, eos,
+                                         num_beams=5, max_len=MAX_LEN,
+                                         accumulate_hidden=True)
+        else:
+            res, _q, enc = sample_cids(model, params, ids, mask, ch, eos,
+                                       num_samples=5, max_len=MAX_LEN,
+                                       rng=jax.random.PRNGKey(3),
+                                       accumulate_hidden=True)
+        valid = np.asarray(res.valid)
+        for special in (False, True):
+            ev_cfg = dataclasses.replace(
+                base.eval, num_beams=5, num_return_sequences=5,
+                use_query_embed_decoder_avg=not special,
+                use_query_embed_decoder_special=special)
+            ev = Evaluator(model, trie, store, ev_cfg)
+            oracle = np.asarray(
+                ev._per_beam_decoder_query(params, res, enc, mask))
+            pooled = res.hid_last if special else res.hid_avg
+            got = np.asarray(model.apply(params, pooled,
+                                         method=model.project_query))
+            np.testing.assert_allclose(got[valid], oracle[valid],
+                                       rtol=2e-4, atol=2e-4,
+                                       err_msg=f"{gen} special={special}")
