@@ -275,10 +275,13 @@ class PawaAdaptor(nn.Module):
 
         def per_position(args: tuple[Array, Array]) -> Array:
             a_l, s_l = args                                  # [B, d] each
-            g = jnp.dot(a_l, u_flat, preferred_element_type=jnp.float32)
+            # g stays in model dtype: the [B, V, d] intermediate is the
+            # bandwidth hot spot; the final contraction accumulates in fp32
+            g = jnp.dot(a_l, u_flat, preferred_element_type=self.dtype)
             g = g.reshape(a_l.shape[0], v, d)                # [B, V, d]
-            return jnp.einsum("bvi,bi->bv", g,
-                              s_l.astype(jnp.float32)).astype(self.dtype)
+            return jnp.einsum("bvi,bi->bv", g, s_l,
+                              preferred_element_type=jnp.float32
+                              ).astype(self.dtype)
 
         # serial over L (≤ max_output_length ≈ 10) to bound live memory
         out = jax.lax.map(per_position,
@@ -306,8 +309,10 @@ class PawaAdaptor(nn.Module):
         u_dig = jax.lax.dynamic_slice_in_dim(u, first_token, kary, axis=1)
         u_eos = u[:, 1:2, :]                                 # EOS block
         u_cand = jnp.concatenate([u_dig, u_eos], axis=1)     # [d, kary+1, d]
+        # g in model dtype (the [B, kary+1, d] intermediate dominates the
+        # step's HBM traffic at bf16 serving); fp32 accumulation at the end
         g = jnp.dot(adaptor_out, u_cand.reshape(d, (kary + 1) * d),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=self.dtype)
         g = g.reshape(b, kary + 1, d)
-        return jnp.einsum("bvi,bi->bv", g,
-                          decoder_out.astype(jnp.float32))
+        return jnp.einsum("bvi,bi->bv", g, decoder_out,
+                          preferred_element_type=jnp.float32)
