@@ -1,0 +1,149 @@
+"""Ablation profiling of the flagship train step on real hardware.
+
+Cases: base (as recorded by bench), no-adaptor, no-dense-contrast,
+no-R-Drop-duplication (half batch), fwd-only (no grad/optimizer),
+grad-no-opt (grad but no optimizer update).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), "..",
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from gdr_tpu.config import DataConfig, GDRConfig, ModelConfig, TrainConfig
+    from gdr_tpu.models.gdr import GenerativeRetriever
+    from gdr_tpu.train.trainer import init_train_state, make_train_step
+
+    log(f"devices: {jax.devices()}")
+    sel = set(sys.argv[1:]) or {"base", "noadaptor", "nodense", "fwdonly",
+                                "gradnoopt"}
+
+    bsz, seq_len, iters = 32, 40, 8
+    results = {}
+
+    def build(mcfg, use_dense=True):
+        cfg = GDRConfig(model=mcfg, train=TrainConfig(train_batch_size=bsz),
+                        data=DataConfig())
+        model = GenerativeRetriever(mcfg)
+        state, opt = init_train_state(cfg, model, None, jax.random.PRNGKey(0),
+                                      total_steps=1000, input_len=seq_len)
+        step = make_train_step(model, None, opt, cfg, stage=1,
+                               use_dense_loss=use_dense)
+        return model, state, opt, step, cfg
+
+    def batch_for(mcfg):
+        rng = np.random.default_rng(1)
+        L = mcfg.max_output_length
+        labels = np.zeros((bsz, L), np.int32)
+        labels[:, 0] = 2
+        labels[:, 1] = mcfg.kary + 2
+        labels[:, 2] = 1
+        lmask = (labels != 0).astype(np.int32)
+        return {
+            "input_ids": jnp.asarray(rng.integers(2, mcfg.vocab_size,
+                                                  (bsz, seq_len)), jnp.int32),
+            "attn_mask": jnp.ones((bsz, seq_len), jnp.int32),
+            "labels": jnp.asarray(labels),
+            "label_mask": jnp.asarray(lmask),
+            "pos_idx": jnp.asarray(np.arange(bsz, dtype=np.int32)),
+            "cand_idx": jnp.asarray(rng.integers(0, 64, (bsz, 5)), jnp.int32),
+            "cand_mask": jnp.ones((bsz, 5), bool),
+        }, jnp.asarray(rng.normal(size=(64, mcfg.encoder_d_model)),
+                       jnp.float32)
+
+    def run_case(name, mcfg, use_dense=True):
+        model, state, opt, step, cfg = build(mcfg, use_dense)
+        batch, store = batch_for(mcfg)
+        key = jax.random.PRNGKey(2)
+        t0 = time.perf_counter()
+        state, m = step(state, batch, store, key)
+        _ = float(m["loss"])
+        log(f"{name}: compile {time.perf_counter()-t0:.1f}s")
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = step(state, batch, store, key)
+        _ = float(m["loss"])
+        ms = (time.perf_counter() - t0) / iters * 1e3
+        log(f"{name}: {ms:.1f} ms/step")
+        results[name] = round(ms, 1)
+        return model, state, cfg, batch, store
+
+    base_cfg = ModelConfig().scaled("base")
+    if "base" in sel:
+        run_case("base", base_cfg)
+    if "noadaptor" in sel:
+        run_case("noadaptor",
+                 dataclasses.replace(base_cfg, adaptor_decode=False))
+    if "nodense" in sel:
+        run_case("nodense", base_cfg, use_dense=False)
+
+    if "fwdonly" in sel or "gradnoopt" in sel:
+        import functools
+
+        from gdr_tpu.models.gdr import shift_right
+        from gdr_tpu.ops import losses as LS
+
+        model, state, opt, step, cfg = build(base_cfg)
+        batch, store = batch_for(base_cfg)
+        key = jax.random.PRNGKey(2)
+
+        def fwd(params, batch, store, rng):
+            ids = jnp.concatenate([batch["input_ids"]] * 2, axis=0)
+            attn = jnp.concatenate([batch["attn_mask"]] * 2, axis=0)
+            labels = jnp.concatenate([batch["labels"]] * 2, axis=0)
+            lmask = jnp.concatenate([batch["label_mask"]] * 2, axis=0)
+            out = model.apply(params["generator"], ids, attn,
+                              shift_right(labels), lmask,
+                              deterministic=False, rngs={"dropout": rng})
+            return LS.masked_cross_entropy(out["logits"], labels, lmask)
+
+        if "fwdonly" in sel:
+            f = jax.jit(fwd)
+            _ = float(f(state.params, batch, store, key))
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                v = f(state.params, batch, store, key)
+            _ = float(v)
+            ms = (time.perf_counter() - t0) / iters * 1e3
+            log(f"fwdonly: {ms:.1f} ms")
+            results["fwdonly"] = round(ms, 1)
+
+        if "gradnoopt" in sel:
+            g = jax.jit(jax.grad(fwd))
+            r = g(state.params, batch, store, key)
+            np.asarray(jax.tree_util.tree_leaves(r)[0].ravel()[:1])
+            t0 = time.perf_counter()
+            outs = [g(state.params, batch, store, key) for _ in range(iters)]
+            for o in outs:
+                np.asarray(jax.tree_util.tree_leaves(o)[0].ravel()[:1])
+            ms = (time.perf_counter() - t0) / iters * 1e3
+            log(f"gradnoopt: {ms:.1f} ms")
+            results["gradnoopt"] = round(ms, 1)
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -256,9 +256,14 @@ class PawaAdaptor(nn.Module):
     def delta_logits(self, adaptor_out: Array, decoder_out: Array) -> Array:
         """Σ_ij A[...,j]·s[...,i]·U[j,v,i] without the [.., L, d, V] blow-up.
 
-        Per position: G[b] = A[b] @ U (one [B,d]·[d, V·d] MXU matmul, the
-        dominant FLOPs), then a matvec with the decoder state.  The live
-        intermediate is [B, V·d] instead of the reference's [B, L, d, V]
+        All positions batch into ONE pass over U: G = A @ U as a single
+        [B·L, d]·[d, V·d] MXU matmul, then a per-position matvec with the
+        decoder states.  One U read forward and one dU accumulation backward
+        — a position-serial ``lax.map`` re-reads the (178M-param at t5-base)
+        U tensor and re-accumulates its gradient every position, which
+        measured as ~36% of the whole train step
+        (benchmarks/profile_train.py).  The live intermediate is [B·L, V·d]
+        in model dtype instead of the reference's [B, L, d, V] fp32
         (modeling_t5.py:1636-1639).
 
         adaptor_out (A), decoder_out (s): [B, L, d] (or [B, d] for one step).
@@ -272,22 +277,13 @@ class PawaAdaptor(nn.Module):
         if single:
             adaptor_out = adaptor_out[:, None]
             decoder_out = decoder_out[:, None]
-
-        def per_position(args: tuple[Array, Array]) -> Array:
-            a_l, s_l = args                                  # [B, d] each
-            # g stays in model dtype: the [B, V, d] intermediate is the
-            # bandwidth hot spot; the final contraction accumulates in fp32
-            g = jnp.dot(a_l, u_flat, preferred_element_type=self.dtype)
-            g = g.reshape(a_l.shape[0], v, d)                # [B, V, d]
-            return jnp.einsum("bvi,bi->bv", g, s_l,
-                              preferred_element_type=jnp.float32
-                              ).astype(self.dtype)
-
-        # serial over L (≤ max_output_length ≈ 10) to bound live memory
-        out = jax.lax.map(per_position,
-                          (adaptor_out.transpose(1, 0, 2),
-                           decoder_out.transpose(1, 0, 2)))
-        out = out.transpose(1, 0, 2)                         # [B, L, V]
+        b, l, _ = adaptor_out.shape
+        g = jnp.dot(adaptor_out.reshape(b * l, d), u_flat,
+                    preferred_element_type=self.dtype)
+        g = g.reshape(b, l, v, d)
+        out = jnp.einsum("blvi,bli->blv", g, decoder_out,
+                         preferred_element_type=jnp.float32
+                         ).astype(self.dtype)
         return out[:, 0] if single else out
 
     def delta_candidates(self, adaptor_out: Array, decoder_out: Array,
