@@ -131,5 +131,93 @@ def main() -> None:
     timeit(enc_init, params, ids, msk, tag="enc+init")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "tm" not in sys.argv:
     main()
+
+
+def tm_variants() -> None:
+    """Time-major [L, R, F] reorder variants (current production layout)."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), "..",
+                                   ".jax_cache"))
+    log(f"devices: {jax.devices()}")
+    B, K, L = 32, 100, 10
+    R = B * K
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    shapes = [(L, R, 768)] * 20
+    bufs = [jax.device_put(jax.random.normal(jax.random.fold_in(key, i),
+                                             s, jnp.bfloat16))
+            for i, s in enumerate(shapes)]
+    beam_idx = jnp.asarray(rng.integers(0, K, (B, K)), jnp.int32)
+    src = (jnp.arange(B)[:, None] * K + beam_idx).reshape(-1)
+
+    def timeit(fn, *args, n=6, tag=""):
+        out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+        t0 = time.perf_counter()
+        outs = [fn(*args) for _ in range(n)]
+        for o in outs:
+            np.asarray(jax.tree_util.tree_leaves(o)[0].ravel()[:1])
+        log(f"{tag}: {(time.perf_counter()-t0)/n*1e3:.2f} ms")
+
+    @jax.jit
+    def tm_einsum(beam_idx, *bufs):
+        onehot = jax.nn.one_hot(beam_idx, K, dtype=jnp.bfloat16)
+        out = []
+        for x in bufs:
+            flat = x.reshape(L, B, K, -1)
+            y = jnp.einsum("bki,lbif->lbkf", onehot, flat,
+                           preferred_element_type=jnp.bfloat16)
+            out.append(y.reshape(x.shape))
+        return out
+
+    @jax.jit
+    def tm_gather(src, *bufs):
+        return [x[:, src] for x in bufs]
+
+    @jax.jit
+    def tm_gather_flat(src, *bufs):
+        # gather on the flattened [L*R, F] view with per-l offsets
+        out = []
+        idx = (jnp.arange(L)[:, None] * R + src[None, :]).reshape(-1)
+        for x in bufs:
+            f = x.reshape(L * R, -1)[idx]
+            out.append(f.reshape(x.shape))
+        return out
+
+    @jax.jit
+    def tm_copy(*bufs):
+        return [x + 1 for x in bufs]
+
+    big = jnp.stack(bufs)                       # [20, L, R, F]
+
+    @jax.jit
+    def tm_merged(beam_idx, big):
+        onehot = jax.nn.one_hot(beam_idx, K, dtype=jnp.bfloat16)
+        flat = big.reshape(20, L, B, K, -1)
+        return jnp.einsum("bki,nlbif->nlbkf", onehot, flat,
+                          preferred_element_type=jnp.bfloat16)
+
+    @jax.jit
+    def tm_concat_f(beam_idx, big):
+        # one [L, B, K, 20*768] feature-concat einsum
+        flat = jnp.transpose(big, (1, 2, 0, 3)).reshape(L, B, K, -1)
+        onehot = jax.nn.one_hot(beam_idx, K, dtype=jnp.bfloat16)
+        return jnp.einsum("bki,lbif->lbkf", onehot, flat,
+                          preferred_element_type=jnp.bfloat16)
+
+    timeit(tm_einsum, beam_idx, *bufs, tag="tm_einsum20")
+    timeit(tm_gather, src, *bufs, tag="tm_gather20")
+    timeit(tm_gather_flat, src, *bufs, tag="tm_gather_flat20")
+    timeit(tm_copy, *bufs, tag="tm_copy20 (floor)")
+    timeit(tm_merged, beam_idx, big, tag="tm_merged_stack")
+    timeit(tm_concat_f, beam_idx, big, tag="tm_concat_features")
+
+
+if __name__ == "__main__" and "tm" in sys.argv:
+    tm_variants()
+    sys.exit(0)

@@ -48,41 +48,32 @@ StepFn = Callable
 
 
 def _select_rows(x: Array, src: Array, beam_idx: Array, in_w: int) -> Array:
-    """Reorder per-beam rows by source beam.
+    """Reorder per-beam rows by source beam: a gather on the FLATTENED 2-D
+    view.
 
-    Float buffers go through a **block-diagonal one-hot matmul** on the MXU
-    (per query: [out_w, in_w] · [in_w, features]) instead of a row gather —
-    XLA lowers per-row gathers of KV-cache-sized buffers ~10× slower than
-    streaming reads on TPU, and the reorder gather measured ~20 ms of the
-    ~25 ms full-width beam step at B=32·K=100 (benchmarks/profile_decode.py).
-    The matmul is exact: each output row is a sum with exactly one nonzero
-    (one-hot) coefficient.  Non-float buffers fall back to the gather.
-
-    ``src``: flat row indices [B·out_w]; ``beam_idx``: per-query source beam
-    [B, out_w] with values < in_w.
+    On TPU the gather's speed is set by the physical layout of what it
+    reads: rows of a clean 2-D [rows, features] array (features a lane
+    multiple) stream at full HBM bandwidth, while the same gather over a
+    ≥4-D tile-padded buffer measured ~10× slower, and a block one-hot
+    matmul ~4× slower (benchmarks/profile_reorder.py).  ``beam_idx``/
+    ``in_w`` are unused here but keep the two select functions' signatures
+    aligned.
     """
-    if x.dtype not in (jnp.bfloat16, jnp.float32, jnp.float16):
+    rows = x.shape[0]
+    if x.ndim <= 1:
         return x[src]
-    b, out_w = beam_idx.shape
-    onehot = jax.nn.one_hot(beam_idx, in_w, dtype=x.dtype)
-    flat = x.reshape(b, in_w, -1)
-    out = jnp.einsum("bki,bif->bkf", onehot, flat,
-                     preferred_element_type=x.dtype)
-    return out.reshape((b * out_w,) + x.shape[1:])
+    out = x.reshape(rows, -1)[src]
+    return out.reshape((src.shape[0],) + x.shape[1:])
 
 
 def _select_rows_tm(x: Array, src: Array, beam_idx: Array, in_w: int
                     ) -> Array:
-    """Row reorder for time-major buffers [L, rows, ...] (axis 1)."""
-    if x.dtype not in (jnp.bfloat16, jnp.float32, jnp.float16):
-        return x[:, src]
-    b, out_w = beam_idx.shape
-    l = x.shape[0]
-    onehot = jax.nn.one_hot(beam_idx, in_w, dtype=x.dtype)
-    flat = x.reshape(l, b, in_w, -1)
-    out = jnp.einsum("bki,lbif->lbkf", onehot, flat,
-                     preferred_element_type=x.dtype)
-    return out.reshape((l, b * out_w) + x.shape[2:])
+    """Row reorder for time-major buffers [L, rows, ...]: one gather on the
+    flattened [L·rows, features] view with per-position offsets."""
+    l, rows = x.shape[0], x.shape[1]
+    idx = (jnp.arange(l)[:, None] * rows + src[None, :]).reshape(-1)
+    out = x.reshape(l * rows, -1)[idx]
+    return out.reshape((l, src.shape[0]) + x.shape[2:])
 
 
 def _reorder_cache(cache, src: Array, beam_idx: Array, in_w: int):
