@@ -154,7 +154,7 @@ def quality_phase(tiny: bool) -> dict:
     # the quality phase's wall clock; the numbers are deterministic given
     # this key) — delete .bench_cache to force a retrain
     import flax.serialization as fser
-    ck_key = (f"q2_{n_docs}_{dim}_{kary}_{leaf_cap}_{epochs}_{bsz}_{lr}"
+    ck_key = (f"q4_{n_docs}_{dim}_{kary}_{leaf_cap}_{epochs}_{bsz}_{lr}"
               f"_{mcfg.d_model}_{mcfg.num_layers}")
     ck_dir = os.path.join(os.path.dirname(__file__), ".bench_cache")
     ck_file = os.path.join(ck_dir, ck_key + ".msgpack")
@@ -297,12 +297,19 @@ def train_step_phase(tiny: bool) -> dict:
     state, m = step_fn(state, batch, store, key)
     _ = float(m["loss"])
     log(f"train step compile: {time.perf_counter()-t0:.1f}s")
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, m = step_fn(state, batch, store, key)
-    _ = float(m["loss"])        # blocks: loss is a scalar device->host read
-    ms = (time.perf_counter() - t0) / iters * 1e3
-    log(f"train step: {ms:.1f} ms (batch {bsz}, R-Drop 2x)")
+    # min over chunks: single-window timing on the tunnel picks up
+    # transient host/RPC stalls (observed bimodal 60/85 ms for identical
+    # code); interference only ever adds time, so min is the honest number
+    chunks = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = step_fn(state, batch, store, key)
+        _ = float(m["loss"])    # blocks: loss is a scalar device->host read
+        chunks.append((time.perf_counter() - t0) / iters * 1e3)
+    ms = float(np.min(chunks))
+    log(f"train step: {ms:.1f} ms (batch {bsz}, R-Drop 2x; "
+        f"chunks {np.array2string(np.asarray(chunks), precision=1)})")
     return {"train_step_ms_b32": round(ms, 1)}
 
 
@@ -429,6 +436,25 @@ def main() -> None:
         assert diff < 1e-3, diff
         extra["pallas_xla_max_score_diff"] = diff
         extra["pallas_xla_id_match"] = round(id_match, 4)
+
+        # index build: on-device hierarchical k-means over the same 334k
+        # store (the reference's slowest offline step — recursive sklearn
+        # over ~900 clusters, kmeans.py:41-90).  First call includes XLA
+        # compiles (persisted to .jax_cache); second is the steady state.
+        from gdr_tpu.ops.kmeans import hierarchical_kmeans
+        log("index build (on-device hierarchical k-means, 334k x 768) ...")
+        t0 = time.perf_counter()
+        hierarchical_kmeans(store, kary=cfg.kary, leaf_cap=30, iters=15,
+                            seed=3, max_depth=8)
+        cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        kpaths = hierarchical_kmeans(store, kary=cfg.kary, leaf_cap=30,
+                                     iters=15, seed=3, max_depth=8)
+        steady = time.perf_counter() - t0
+        log(f"index kmeans: cold {cold:.1f}s (compiles), steady "
+            f"{steady:.2f}s; max depth {max(len(p) for p in kpaths)}")
+        extra["index_kmeans_steady_s"] = round(steady, 2)
+        extra["index_kmeans_cold_s"] = round(cold, 1)
 
     extra.update(train_step_phase(tiny))
     extra.update(quality_phase(tiny))

@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import csv
 import json
+import os
 
 
 def _add_common_model_flags(p: argparse.ArgumentParser) -> None:
@@ -354,6 +355,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
+    # persistent XLA compile cache: repeated CLI invocations skip
+    # recompilation (remote compiles through a tunnelled accelerator can
+    # cost minutes even for tiny programs)
+    import jax
+
+    cache_dir = os.environ.get(
+        "GDR_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "gdr_tpu_xla"))
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     args = build_parser().parse_args(argv)
     args.fn(args)
 

@@ -29,9 +29,8 @@ import numpy as np
 Array = jax.Array
 
 
-@partial(jax.jit, static_argnames=("k", "iters"))
-def kmeans_fit(x: Array, mask: Array, k: int, iters: int, key: Array
-               ) -> tuple[Array, Array]:
+def _kmeans_core(x: Array, mask: Array, k: int, iters: int, key: Array
+                 ) -> tuple[Array, Array]:
     """Masked Lloyd k-means.  x: [n, d] (padded), mask: [n] bool.
 
     Returns (centroids [k, d], assignment [n] int32).  Padded rows get
@@ -77,10 +76,26 @@ def kmeans_fit(x: Array, mask: Array, k: int, iters: int, key: Array
     return cent, assign(cent)
 
 
-@partial(jax.jit, static_argnames=("k", "iters", "batch_size"))
-def kmeans_fit_minibatch(x: Array, mask: Array, k: int, iters: int,
-                         batch_size: int, key: Array
-                         ) -> tuple[Array, Array]:
+kmeans_fit = partial(jax.jit, static_argnames=("k", "iters"))(_kmeans_core)
+
+
+@partial(jax.jit, static_argnames=("k", "iters"))
+def kmeans_fit_batch(xs: Array, masks: Array, k: int, iters: int,
+                     keys: Array) -> tuple[Array, Array]:
+    """Vmapped Lloyd over G same-shape clusters in ONE program.
+
+    xs: [G, n, d], masks: [G, n], keys: [G, 2].  The hierarchical recursion
+    dispatches hundreds of sibling clusters; running each as its own
+    execution costs a ~32 ms tunnel round trip apiece (the 334k-doc NQ tree
+    measured 233 s, dispatch-dominated) — batching same-bucket siblings
+    collapses that to a handful of executions per level.
+    """
+    return jax.vmap(lambda x, m, kk: _kmeans_core(x, m, k, iters, kk)
+                    )(xs, masks, keys)
+
+
+def _minibatch_core(x: Array, mask: Array, k: int, iters: int,
+                    batch_size: int, key: Array) -> tuple[Array, Array]:
     """Minibatch k-means (the reference's MiniBatchKMeans path for clusters
     ≥ 1e3 points, kmeans.py:53-56): each iteration assigns one sampled
     minibatch and moves each centroid toward its batch mean with a
@@ -125,6 +140,45 @@ def kmeans_fit_minibatch(x: Array, mask: Array, k: int, iters: int,
     return cent, assign_of(cent, x)
 
 
+kmeans_fit_minibatch = partial(
+    jax.jit, static_argnames=("k", "iters", "batch_size"))(_minibatch_core)
+
+
+@partial(jax.jit, static_argnames=("k", "iters", "batch_size"))
+def kmeans_fit_minibatch_batch(xs: Array, masks: Array, k: int, iters: int,
+                               batch_size: int, keys: Array
+                               ) -> tuple[Array, Array]:
+    """Vmapped minibatch k-means over G same-shape clusters."""
+    return jax.vmap(lambda x, m, kk: _minibatch_core(x, m, k, iters,
+                                                     batch_size, kk)
+                    )(xs, masks, keys)
+
+
+@partial(jax.jit, static_argnames=("k", "iters"))
+def _fit_gather_batch(X: Array, idx: Array, masks: Array, k: int, iters: int,
+                      keys: Array) -> Array:
+    """Fit G clusters whose members are rows of the DEVICE-RESIDENT store.
+
+    X: [N, d]; idx: [G, b] row indices (pad rows arbitrary, masked out);
+    masks: [G, b]; keys: [G, 2].  Returns assignments [G, b].
+
+    Gathering inside the program is what makes the hierarchical build fast
+    on a tunnelled host: building padded per-cluster arrays host-side ships
+    ~n·d floats per LEVEL through the host↔device link (~45 s/level at NQ
+    scale, measured), versus ~n ints of indices here.
+    """
+    return jax.vmap(lambda ii, mm, kk: _kmeans_core(X[ii], mm, k, iters,
+                                                    kk)[1])(idx, masks, keys)
+
+
+@partial(jax.jit, static_argnames=("k", "iters", "batch_size"))
+def _fit_gather_minibatch_batch(X: Array, idx: Array, masks: Array, k: int,
+                                iters: int, batch_size: int, keys: Array
+                                ) -> Array:
+    return jax.vmap(lambda ii, mm, kk: _minibatch_core(
+        X[ii], mm, k, iters, batch_size, kk)[1])(idx, masks, keys)
+
+
 def _bucket(n: int, minimum: int = 64) -> int:
     b = minimum
     while b < n:
@@ -138,7 +192,10 @@ def hierarchical_kmeans(X: np.ndarray, kary: int, leaf_cap: int,
                         doc_level_suffix: bool = False,
                         minibatch_threshold: int = 0,
                         minibatch_size: int = 1024) -> list[list[int]]:
-    """Build per-doc CID digit paths.  X: [N, d] doc embeddings (host array).
+    """Build per-doc CID digit paths.  X: [N, d] doc embeddings (numpy or
+    device array — shipped to the device once; per-cluster gathers then
+    happen inside the fit programs and only indices/assignments cross the
+    host link).
 
     Returns ``paths[i]`` = list of digits for doc i (length ≤ max_depth).
     Mirrors reference kmeans.py:41-90 but cluster assignment happens on
@@ -148,12 +205,119 @@ def hierarchical_kmeans(X: np.ndarray, kary: int, leaf_cap: int,
     minibatch k-means with ``minibatch_size`` samples per iteration
     (ref kmeans.py:53-56, threshold 1e3); smaller clusters run exact Lloyd.
     """
-    X = np.asarray(X, np.float32)
     n_total = X.shape[0]
+    if n_total < 20_000:
+        # Small corpora fit in pure NumPy: the XLA programs only pay off at
+        # index scale — their one-time compile costs minutes on a tunnelled
+        # accelerator (including its remote "CPU" device), versus
+        # milliseconds of host math here.
+        return _hierarchical_numpy(np.asarray(X, np.float32), kary, leaf_cap,
+                                   iters, seed, max_depth, doc_level_suffix)
+    X_dev = jnp.asarray(X, jnp.float32)     # ship the store ONCE
     paths: list[list[int]] = [[] for _ in range(n_total)]
     key = jax.random.PRNGKey(seed)
 
-    stack: list[tuple[np.ndarray, int]] = [(np.arange(n_total), 0)]
+    # Per-device-call budget when batching sibling clusters (fp32 rows);
+    # groups above it are chunked.
+    max_rows_per_call = 1 << 20
+
+    pending: list[tuple[np.ndarray, int]] = [(np.arange(n_total), 0)]
+    while pending:
+        # split leaves from clusters that actually need a k-means fit
+        to_fit: list[tuple[np.ndarray, int]] = []
+        for idx, depth in pending:
+            n = len(idx)
+            if n <= leaf_cap or depth >= max_depth:
+                if doc_level_suffix and n > 1:
+                    for pos, doc in enumerate(idx):
+                        paths[doc].append(pos)
+            elif n <= kary:
+                # fewer points than clusters: enumerate directly
+                for pos, doc in enumerate(idx):
+                    paths[doc].append(pos)
+            else:
+                to_fit.append((idx, depth))
+
+        # group same-bucket clusters and fit each group in ONE vmapped
+        # execution — per-cluster dispatch costs a tunnel round trip each
+        # and dominated the 334k-doc build (hundreds of sibling clusters)
+        by_bucket: dict[tuple[int, bool], list[tuple[np.ndarray, int]]] = {}
+        for idx, depth in to_fit:
+            b = _bucket(len(idx))
+            mb = bool(minibatch_threshold) and len(idx) >= minibatch_threshold
+            by_bucket.setdefault((b, mb), []).append((idx, depth))
+
+        pending = []
+        for (b, mb), group in sorted(by_bucket.items()):
+            chunk = max(1, max_rows_per_call // b)
+            for s in range(0, len(group), chunk):
+                part = group[s:s + chunk]
+                g = len(part)
+                idxs = np.zeros((g, b), np.int32)
+                masks = np.zeros((g, b), bool)
+                for j, (idx, _) in enumerate(part):
+                    idxs[j, :len(idx)] = idx
+                    masks[j, :len(idx)] = True
+                key, sub = jax.random.split(key)
+                keys = jax.random.split(sub, g)
+                if mb:
+                    assigns = _fit_gather_minibatch_batch(
+                        X_dev, jnp.asarray(idxs), jnp.asarray(masks), kary,
+                        iters, min(minibatch_size, b), keys)
+                else:
+                    assigns = _fit_gather_batch(
+                        X_dev, jnp.asarray(idxs), jnp.asarray(masks), kary,
+                        iters, keys)
+                assigns = np.asarray(assigns)
+                for j, (idx, depth) in enumerate(part):
+                    n = len(idx)
+                    assign = assigns[j, :n]
+                    # degenerate split: round-robin fallback
+                    if len(np.unique(assign)) == 1:
+                        assign = np.arange(n) % kary
+                    for c in range(kary):
+                        members = idx[assign == c]
+                        if len(members) == 0:
+                            continue
+                        for doc in members:
+                            paths[doc].append(c)
+                        pending.append((members, depth + 1))
+    return paths
+
+
+def _numpy_fit(x: np.ndarray, k: int, iters: int,
+               rng: np.random.Generator) -> np.ndarray:
+    """Host Lloyd k-means with k-means++ seeding; returns assignments [n]."""
+    n, d = x.shape
+    cent = np.empty((k, d), np.float32)
+    cent[0] = x[rng.integers(n)]
+    mind = ((x - cent[0]) ** 2).sum(1)
+    for i in range(1, k):
+        p = mind / max(mind.sum(), 1e-30)
+        cent[i] = x[rng.choice(n, p=p)]
+        mind = np.minimum(mind, ((x - cent[i]) ** 2).sum(1))
+    xsq = (x * x).sum(1)[:, None]
+    a = np.zeros(n, np.int64)
+    for _ in range(iters):
+        d2 = xsq - 2.0 * (x @ cent.T) + (cent * cent).sum(1)[None]
+        a = d2.argmin(1)
+        sums = np.zeros((k, d), np.float32)
+        np.add.at(sums, a, x)
+        counts = np.bincount(a, minlength=k)
+        nz = counts > 0
+        cent[nz] = sums[nz] / counts[nz, None]
+    d2 = xsq - 2.0 * (x @ cent.T) + (cent * cent).sum(1)[None]
+    return d2.argmin(1)
+
+
+def _hierarchical_numpy(X: np.ndarray, kary: int, leaf_cap: int, iters: int,
+                        seed: int, max_depth: int, doc_level_suffix: bool
+                        ) -> list[list[int]]:
+    """Small-corpus path: the same recursion, all host math (see
+    hierarchical_kmeans).  Deterministic per (seed, visit order)."""
+    paths: list[list[int]] = [[] for _ in range(X.shape[0])]
+    counter = 0
+    stack: list[tuple[np.ndarray, int]] = [(np.arange(X.shape[0]), 0)]
     while stack:
         idx, depth = stack.pop()
         n = len(idx)
@@ -163,25 +327,12 @@ def hierarchical_kmeans(X: np.ndarray, kary: int, leaf_cap: int,
                     paths[doc].append(pos)
             continue
         if n <= kary:
-            # fewer points than clusters: enumerate directly
             for pos, doc in enumerate(idx):
                 paths[doc].append(pos)
             continue
-        b = _bucket(n)
-        xp = np.zeros((b, X.shape[1]), np.float32)
-        xp[:n] = X[idx]
-        mask = np.zeros(b, bool)
-        mask[:n] = True
-        key, sub = jax.random.split(key)
-        if minibatch_threshold and n >= minibatch_threshold:
-            _, assign = kmeans_fit_minibatch(
-                jnp.asarray(xp), jnp.asarray(mask), kary, iters,
-                min(minibatch_size, b), sub)
-        else:
-            _, assign = kmeans_fit(jnp.asarray(xp), jnp.asarray(mask), kary,
-                                   iters, sub)
-        assign = np.asarray(assign[:n])
-        # degenerate split (all points in one cluster): round-robin fallback
+        rng = np.random.default_rng((seed, counter))
+        counter += 1
+        assign = _numpy_fit(X[idx], kary, iters, rng)
         if len(np.unique(assign)) == 1:
             assign = np.arange(n) % kary
         for c in range(kary):
