@@ -102,12 +102,14 @@ def main() -> None:
                 jnp.ones((b, seq_len), jnp.int32))
 
     # ---------------- full retrieve at several mega-batch layouts ----------
+    use_pallas = os.environ.get("GDR_PROF_PALLAS", "1") == "1"
+    packed = os.environ.get("GDR_PROF_PACKED", "1") == "1"
     for name, (group, qbatch) in {"full32": (4, 32), "full64": (2, 64),
                                   "full128": (1, 128)}.items():
         if name not in sel:
             continue
-        ev = Evaluator(model, trie, store, ev_cfg, packed=True,
-                       use_pallas=True)
+        ev = Evaluator(model, trie, store, ev_cfg, packed=packed,
+                       use_pallas=use_pallas)
         ids = jnp.asarray(rng.integers(2, cfg.vocab_size,
                                        (group, qbatch, seq_len)), jnp.int32)
         msk = jnp.ones((group, qbatch, seq_len), jnp.int32)

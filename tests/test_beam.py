@@ -343,3 +343,41 @@ def test_accumulated_hidden_matches_rerun_oracle(toy):
             np.testing.assert_allclose(got[valid], oracle[valid],
                                        rtol=2e-4, atol=2e-4,
                                        err_msg=f"{gen} special={special}")
+
+
+def test_depth_capped_decode_matches_full_length(toy):
+    """Evaluator sizes the decode program to trie depth+1; results must be
+    identical to decoding at the configured max_output_length (every path
+    terminates by max depth, and positional token ids don't depend on L)."""
+    import dataclasses
+    from gdr_tpu.config import tiny_config
+    from gdr_tpu.models.gdr import GenerativeRetriever, init_params
+    from gdr_tpu.ops.beam import generate_cids
+
+    trie, _t, _m = toy
+    long_l = MAX_LEN + 4           # model configured for a longer decode
+    cfg = dataclasses.replace(tiny_config(kary=KARY,
+                                          max_output_length=long_l).model,
+                              dropout_rate=0.0)
+    model = GenerativeRetriever(cfg)
+    params = init_params(model, jax.random.PRNGKey(0), input_len=6)
+    ids = jnp.asarray(np.random.default_rng(4).integers(2, 100, (2, 6)),
+                      jnp.int32)
+    mask = jnp.ones_like(ids)
+    ch, eos = jnp.asarray(trie.children), jnp.asarray(trie.eos_allowed)
+    capped = int(trie.depth.max()) + 1
+
+    full, _, _ = generate_cids(model, params, ids, mask, ch, eos,
+                               num_beams=5, max_len=long_l)
+    short, _, _ = generate_cids(model, params, ids, mask, ch, eos,
+                                num_beams=5, max_len=capped)
+    np.testing.assert_array_equal(
+        np.asarray(full.sequences)[..., :capped + 1],
+        np.asarray(short.sequences))
+    assert np.abs(np.asarray(full.sequences)[..., capped + 1:]).max() == 0
+    np.testing.assert_allclose(np.asarray(full.scores),
+                               np.asarray(short.scores), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(full.nodes),
+                                  np.asarray(short.nodes))
+    np.testing.assert_array_equal(np.asarray(full.valid),
+                                  np.asarray(short.valid))
