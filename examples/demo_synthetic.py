@@ -9,8 +9,11 @@ prints the metric suite.  Runs on CPU in a couple of minutes:
 """
 
 import dataclasses
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp

@@ -293,8 +293,11 @@ def _numpy_fit(x: np.ndarray, k: int, iters: int,
     cent[0] = x[rng.integers(n)]
     mind = ((x - cent[0]) ** 2).sum(1)
     for i in range(1, k):
-        p = mind / max(mind.sum(), 1e-30)
-        cent[i] = x[rng.choice(n, p=p)]
+        s = mind.sum()
+        if s <= 0:                      # all remaining points identical
+            cent[i] = x[rng.integers(n)]
+            continue
+        cent[i] = x[rng.choice(n, p=mind / s)]
         mind = np.minimum(mind, ((x - cent[i]) ** 2).sum(1))
     xsq = (x * x).sum(1)[:, None]
     a = np.zeros(n, np.int64)
