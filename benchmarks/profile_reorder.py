@@ -126,7 +126,7 @@ def main() -> None:
     def enc_init(params, ids, msk):
         enc = model.apply(params, ids, msk, method=model.encode)
         cache = model.apply(params, enc, L, K, method=model.init_cache)
-        return cache["self_k_0"][:, 0, 0, 0]
+        return cache["tm_self_k_0"][0, :, 0]
 
     timeit(enc_init, params, ids, msk, tag="enc+init")
 

@@ -355,9 +355,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
     # persistent XLA compile cache: repeated CLI invocations skip
     # recompilation (remote compiles through a tunnelled accelerator can
-    # cost minutes even for tiny programs)
+    # cost minutes even for tiny programs).  After argparse so --help and
+    # usage errors never pay the jax import.
     import jax
 
     cache_dir = os.environ.get(
@@ -367,7 +370,6 @@ def main(argv=None) -> None:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    args = build_parser().parse_args(argv)
     args.fn(args)
 
 

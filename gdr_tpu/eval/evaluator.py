@@ -77,8 +77,15 @@ class Evaluator:
         # max_output_length (the reference fixes 10, infer.sh:7) cuts the
         # decode's attention and reorder traffic by Lmax/depth with
         # identical results (positional token ids don't depend on L).
-        self._max_len = min(cfg.max_output_length,
-                            int(trie.depth.max()) + 1)
+        # When decoder-side query reps are pooled, one EXTRA step of room is
+        # needed so full-depth beams' EOS-input state enters the pool — at
+        # the configured length the reference's :L-truncated re-run includes
+        # that state whenever eos_pos + 1 < L (main_models.py:1464-1571).
+        depth_cap = int(trie.depth.max()) + 1
+        if (cfg.use_query_embed_decoder_avg
+                or cfg.use_query_embed_decoder_special):
+            depth_cap += 1
+        self._max_len = min(cfg.max_output_length, depth_cap)
         self._children = jnp.asarray(trie.children)
         self._eos = jnp.asarray(trie.eos_allowed)
         self._cluster_of_node = jnp.asarray(trie.cluster_of_node)

@@ -47,6 +47,20 @@ NEG_INF = -1.0e9
 StepFn = Callable
 
 
+def _pool_hidden(acc, cur_tok: Array, pos: Array, hidden: Array):
+    """Pool this step's decoder hidden (input = ``cur_tok``) into the
+    (sum, count, last) accumulator: covers the start token (pos 0), every
+    digit, and the EOS input of beams finishing before the final position —
+    exactly the positions the teacher-forced re-run masks in (evaluator
+    ``_per_beam_decoder_query``, ref main_models.py:1464-1571)."""
+    hid_sum, hid_cnt, hid_last = acc
+    do = (cur_tok != PAD_ID) | (pos == 0)
+    h32 = hidden.astype(jnp.float32)
+    return (hid_sum + jnp.where(do[:, None], h32, 0.0),
+            hid_cnt + do.astype(jnp.int32),
+            jnp.where(do[:, None], h32, hid_last))
+
+
 def _select_rows(x: Array, src: Array, beam_idx: Array, in_w: int) -> Array:
     """Reorder per-beam rows by source beam: a gather on the FLATTENED 2-D
     view.
@@ -116,19 +130,8 @@ def _beam_step(carry, pos, step_fn, batch: int, in_w: int, out_w: int,
     bk = batch * in_w
     n_opt = kary + 1
     if accumulate:
-        # pool the decoder hidden of this step's INPUT token into the carry;
-        # the pool covers the start token (pos 0), every digit, and the EOS
-        # input of beams finishing before the final position — exactly the
-        # positions the teacher-forced re-run masks in (evaluator
-        # _per_beam_decoder_query, ref main_models.py:1464-1571)
         out, hidden, cache = step_fn(cur_tok, cache, pos, in_w)
-        hid_sum, hid_cnt, hid_last = acc
-        do = (cur_tok != PAD_ID) | (pos == 0)
-        h32 = hidden.astype(jnp.float32)
-        hid_sum = hid_sum + jnp.where(do[:, None], h32, 0.0)
-        hid_cnt = hid_cnt + do.astype(jnp.int32)
-        hid_last = jnp.where(do[:, None], h32, hid_last)
-        acc = (hid_sum, hid_cnt, hid_last)
+        acc = _pool_hidden(acc, cur_tok, pos, hidden)
     else:
         out, cache = step_fn(cur_tok, cache, pos, in_w)
     logp = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
@@ -391,12 +394,7 @@ def sample_cids(model, params, input_ids: Array, attn_mask: Array,
         tokens, node, scores, finished, eos_pos, cur_tok, acc, cache = carry
         if accumulate_hidden:
             out, hidden, cache = step_fn(cur_tok, cache, pos, num_samples)
-            hid_sum, hid_cnt, hid_last = acc
-            do = (cur_tok != PAD_ID) | (pos == 0)
-            h32 = hidden.astype(jnp.float32)
-            acc = (hid_sum + jnp.where(do[:, None], h32, 0.0),
-                   hid_cnt + do.astype(jnp.int32),
-                   jnp.where(do[:, None], h32, hid_last))
+            acc = _pool_hidden(acc, cur_tok, pos, hidden)
         else:
             out, cache = step_fn(cur_tok, cache, pos, num_samples)
         logp = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)

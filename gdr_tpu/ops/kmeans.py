@@ -79,21 +79,6 @@ def _kmeans_core(x: Array, mask: Array, k: int, iters: int, key: Array
 kmeans_fit = partial(jax.jit, static_argnames=("k", "iters"))(_kmeans_core)
 
 
-@partial(jax.jit, static_argnames=("k", "iters"))
-def kmeans_fit_batch(xs: Array, masks: Array, k: int, iters: int,
-                     keys: Array) -> tuple[Array, Array]:
-    """Vmapped Lloyd over G same-shape clusters in ONE program.
-
-    xs: [G, n, d], masks: [G, n], keys: [G, 2].  The hierarchical recursion
-    dispatches hundreds of sibling clusters; running each as its own
-    execution costs a ~32 ms tunnel round trip apiece (the 334k-doc NQ tree
-    measured 233 s, dispatch-dominated) — batching same-bucket siblings
-    collapses that to a handful of executions per level.
-    """
-    return jax.vmap(lambda x, m, kk: _kmeans_core(x, m, k, iters, kk)
-                    )(xs, masks, keys)
-
-
 def _minibatch_core(x: Array, mask: Array, k: int, iters: int,
                     batch_size: int, key: Array) -> tuple[Array, Array]:
     """Minibatch k-means (the reference's MiniBatchKMeans path for clusters
@@ -144,28 +129,21 @@ kmeans_fit_minibatch = partial(
     jax.jit, static_argnames=("k", "iters", "batch_size"))(_minibatch_core)
 
 
-@partial(jax.jit, static_argnames=("k", "iters", "batch_size"))
-def kmeans_fit_minibatch_batch(xs: Array, masks: Array, k: int, iters: int,
-                               batch_size: int, keys: Array
-                               ) -> tuple[Array, Array]:
-    """Vmapped minibatch k-means over G same-shape clusters."""
-    return jax.vmap(lambda x, m, kk: _minibatch_core(x, m, k, iters,
-                                                     batch_size, kk)
-                    )(xs, masks, keys)
-
-
 @partial(jax.jit, static_argnames=("k", "iters"))
 def _fit_gather_batch(X: Array, idx: Array, masks: Array, k: int, iters: int,
                       keys: Array) -> Array:
-    """Fit G clusters whose members are rows of the DEVICE-RESIDENT store.
+    """Fit G clusters whose members are rows of the DEVICE-RESIDENT store,
+    vmapped into ONE program per (G, bucket) shape.
 
     X: [N, d]; idx: [G, b] row indices (pad rows arbitrary, masked out);
     masks: [G, b]; keys: [G, 2].  Returns assignments [G, b].
 
-    Gathering inside the program is what makes the hierarchical build fast
-    on a tunnelled host: building padded per-cluster arrays host-side ships
-    ~n·d floats per LEVEL through the host↔device link (~45 s/level at NQ
-    scale, measured), versus ~n ints of indices here.
+    Two things make the hierarchical build fast on a tunnelled host:
+    same-bucket sibling clusters share one execution (vs one ~32 ms
+    dispatch each for the ~900 clusters of an NQ-scale tree), and gathering
+    inside the program ships only indices/assignments over the host↔device
+    link instead of ~n·d floats per level (~45 s/level at 334k docs,
+    measured).
     """
     return jax.vmap(lambda ii, mm, kk: _kmeans_core(X[ii], mm, k, iters,
                                                     kk)[1])(idx, masks, keys)
@@ -206,11 +184,14 @@ def hierarchical_kmeans(X: np.ndarray, kary: int, leaf_cap: int,
     (ref kmeans.py:53-56, threshold 1e3); smaller clusters run exact Lloyd.
     """
     n_total = X.shape[0]
-    if n_total < 20_000:
+    if n_total < 20_000 and not (minibatch_threshold
+                                 and n_total >= minibatch_threshold):
         # Small corpora fit in pure NumPy: the XLA programs only pay off at
         # index scale — their one-time compile costs minutes on a tunnelled
         # accelerator (including its remote "CPU" device), versus
-        # milliseconds of host math here.
+        # milliseconds of host math here.  (Taken only when no cluster
+        # could trigger the minibatch mode, so those semantics are never
+        # silently bypassed.)
         return _hierarchical_numpy(np.asarray(X, np.float32), kary, leaf_cap,
                                    iters, seed, max_depth, doc_level_suffix)
     X_dev = jnp.asarray(X, jnp.float32)     # ship the store ONCE
@@ -252,9 +233,12 @@ def hierarchical_kmeans(X: np.ndarray, kary: int, leaf_cap: int,
             chunk = max(1, max_rows_per_call // b)
             for s in range(0, len(group), chunk):
                 part = group[s:s + chunk]
-                g = len(part)
+                # pad the group count to a bucket too: each distinct (G, b)
+                # shape compiles its own XLA program, and remainder groups
+                # would otherwise mint fresh multi-second compiles per run
+                g = min(_bucket(len(part), minimum=1), chunk)
                 idxs = np.zeros((g, b), np.int32)
-                masks = np.zeros((g, b), bool)
+                masks = np.zeros((g, b), bool)       # pad groups: all-False
                 for j, (idx, _) in enumerate(part):
                     idxs[j, :len(idx)] = idx
                     masks[j, :len(idx)] = True

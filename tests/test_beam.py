@@ -381,3 +381,20 @@ def test_depth_capped_decode_matches_full_length(toy):
                                   np.asarray(short.nodes))
     np.testing.assert_array_equal(np.asarray(full.valid),
                                   np.asarray(short.valid))
+
+    # pooled decoder reps need ONE extra step of room (depth+2): full-depth
+    # beams' EOS-input state enters the pool only if a step can consume it —
+    # the cap the Evaluator uses when decoder-side query reps are requested
+    full_a, _, _ = generate_cids(model, params, ids, mask, ch, eos,
+                                 num_beams=5, max_len=long_l,
+                                 accumulate_hidden=True)
+    short_a, _, _ = generate_cids(model, params, ids, mask, ch, eos,
+                                  num_beams=5, max_len=capped + 1,
+                                  accumulate_hidden=True)
+    v = np.asarray(full_a.valid)
+    np.testing.assert_allclose(np.asarray(full_a.hid_avg)[v],
+                               np.asarray(short_a.hid_avg)[v],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(full_a.hid_last)[v],
+                               np.asarray(short_a.hid_last)[v],
+                               rtol=1e-4, atol=1e-4)
