@@ -208,15 +208,23 @@ def quality_phase(tiny: bool) -> dict:
             log(f"quality: cached trained checkpoint ({ck_key})")
 
     beams = 10 if tiny else 64
-    ev = Evaluator(model, trie, store,
-                   EvalConfig(num_beams=beams, num_return_sequences=100,
-                              max_output_length=L, length_penalty=0.8,
-                              score_rates=(0.0, 1.0)))
+    ev_cfg = EvalConfig(num_beams=beams, num_return_sequences=100,
+                        max_output_length=L, length_penalty=0.8,
+                        score_rates=(0.0, 1.0))
+    ev = Evaluator(model, trie, store, ev_cfg)
     data = EvalData(input_ids=test_ids,
                     attn_mask=np.ones_like(test_ids),
                     gt_docs=[[str(d)] for d in test_pos],
                     gt_cids=[[cid_of_doc[d]] for d in test_pos])
     metrics = ev.evaluate(state.params["generator"], data, batch_size=64)
+
+    # second eval path: decoder_avg + encoder fusion query reps, pooled in
+    # the beam carry (ref use_query_embed_* + fusion, main_models.py:
+    # 1464-1571) — locks the fused-rep path in a recorded artifact
+    ev_fuse = Evaluator(model, trie, store, dataclasses.replace(
+        ev_cfg, use_query_embed_encoder=True,
+        use_query_embed_decoder_avg=True))
+    m_fuse = ev_fuse.evaluate(state.params["generator"], data, batch_size=64)
 
     # dense oracle: exhaustive tanh(q·d) with the SAME query embeddings
     enc = model.apply(state.params["generator"], jnp.asarray(test_ids),
@@ -238,6 +246,8 @@ def quality_phase(tiny: bool) -> dict:
     out["quality_mrr10"] = round(max(
         metrics[f"MRR10_{a}"] for a in alphas), 4)
     out["quality_cluster_recall1"] = round(metrics["cluster_recall1"], 4)
+    out["quality_recall10_decfuse"] = round(max(
+        m_fuse[f"recall10_{a}"] for a in (0.0, 1.0)), 4)
     out.update(oracle)
     out["recall10_vs_oracle"] = round(
         out["quality_recall10"] / max(oracle["oracle_recall10"], 1e-9), 4)
@@ -455,6 +465,33 @@ def main() -> None:
             f"{steady:.2f}s; max depth {max(len(p) for p in kpaths)}")
         extra["index_kmeans_steady_s"] = round(steady, 2)
         extra["index_kmeans_cold_s"] = round(cold, 1)
+
+        # doc-embedding generation: the BERT-base-class doc tower over a
+        # 32k-doc sample at 128 tokens (the reference shards the corpus
+        # one-process-per-GPU, bert.py:48-61 — here one pipelined encode)
+        from gdr_tpu.index.builder import embed_corpus
+        from gdr_tpu.models.dual_encoder import DocEncoder
+
+        doc_enc = DocEncoder(dtype=jnp.bfloat16)
+        n_embed, enc_len = 32_768, 128
+        tok_ids = np.asarray(rng.integers(1, doc_enc.vocab_size,
+                                          (n_embed, enc_len)), np.int32)
+        tok_msk = np.ones((n_embed, enc_len), np.int32)
+        enc_params = doc_enc.init(jax.random.PRNGKey(1), tok_ids[:2],
+                                  tok_msk[:2])
+        t0 = time.perf_counter()
+        embs = embed_corpus(doc_enc, enc_params, tok_ids, tok_msk,
+                            batch_size=512)
+        warm = time.perf_counter() - t0      # includes one-time compile
+        t0 = time.perf_counter()
+        embs = embed_corpus(doc_enc, enc_params, tok_ids, tok_msk,
+                            batch_size=512)
+        dt = time.perf_counter() - t0
+        dps = n_embed / dt
+        log(f"embed corpus: {dps:.0f} docs/s (BERT-base doc tower, 128 tok, "
+            f"{n_embed} docs in {dt:.1f}s; first incl. compile {warm:.1f}s)")
+        assert np.isfinite(embs).all()
+        extra["embed_docs_per_sec"] = round(dps, 0)
 
     extra.update(train_step_phase(tiny))
     extra.update(quality_phase(tiny))

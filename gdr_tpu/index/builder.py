@@ -43,7 +43,11 @@ def embed_corpus(doc_encoder, params, token_ids: np.ndarray,
     encode = jax.jit(lambda p, t, m: doc_encoder.apply(
         p, t, m, deterministic=True))
     out = np.zeros((n, 0), np.float32)
-    chunks = []
+    # two passes: dispatch every batch first (async), materialise after —
+    # a per-batch np.asarray would sync the host to the device each batch,
+    # serialising ~n/batch_size round trips (32 ms apiece on a tunnelled
+    # deployment) into the embed wall clock
+    inflight = []
     for start in range(0, n, batch_size):
         end = min(start + batch_size, n)
         ids = token_ids[start:end]
@@ -54,8 +58,10 @@ def embed_corpus(doc_encoder, params, token_ids: np.ndarray,
                                                 ids.dtype)])
             msk = np.concatenate([msk, np.ones((pad, msk.shape[1]),
                                                msk.dtype)])
-        emb = np.asarray(encode(params, jnp.asarray(ids), jnp.asarray(msk)))
-        chunks.append(emb[: end - start])
+        emb = encode(params, jnp.asarray(ids), jnp.asarray(msk))
+        emb.copy_to_host_async()
+        inflight.append((end - start, emb))
+    chunks = [np.asarray(emb)[:take] for take, emb in inflight]
     out = np.concatenate(chunks) if chunks else out
     if not np.isfinite(out).all():
         bad = np.flatnonzero(~np.isfinite(out).all(axis=1))
