@@ -36,7 +36,8 @@ class ModelConfig:
     layer_norm_epsilon: float = 1e-6
     relative_attention_num_buckets: int = 32
     relative_attention_max_distance: int = 128
-    feed_forward_proj: str = "relu"  # T5 v1.0 (HF 3.4.0 default)
+    # (the FF nonlinearity is relu — T5 v1.0, the only variant the
+    # reference's HF-3.4 fork ships; no knob is exposed for it)
 
     # --- docid decoding head -------------------------------------------------
     kary: int = 30                   # branching factor of the CID tree
@@ -131,8 +132,8 @@ class IndexConfig:
 class DataConfig:
     """Dataset assembly knobs (ref main.py flags + l1_query behavior)."""
 
-    max_input_length: int = 40       # query tokens (ref `--max_input_length`)
-    inf_max_input_length: int = 40
+    max_input_length: int = 40       # query tokens (ref `--max_input_length`,
+    #                                  = its --inf_max_input_length default)
     doc_length: int = 64             # doc-as-query span (ref `--doc_length`)
     encoder_max_len: int = 128       # doc tokens for dual encoder
     max_intraclass_num: int = 10     # contrastive candidates (ref `--max_intraclass_num`)

@@ -55,6 +55,29 @@ def rdrop_contrast_loss(decoder_hidden: Array, label_mask: Array) -> Array:
     return -(picked * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 
 
+def rdrop_kl_loss(logits: Array) -> Array:
+    """R-Drop ``KL`` variant (ref modeling_t5.py:1668-1674): symmetric KL
+    between the two dropout realisations' positional distributions, summed
+    over all positions (the reference does not mask padding here) and
+    normalised by 2·L."""
+    b = logits.shape[0] // 2
+    sl = logits.shape[1]
+    p = jax.nn.log_softmax(logits[:b].astype(jnp.float32), axis=-1)
+    q = jax.nn.log_softmax(logits[b:].astype(jnp.float32), axis=-1)
+    kl_pq = (jnp.exp(q) * (q - p)).sum()      # KL(q || p): F.kl_div(p, q)
+    kl_qp = (jnp.exp(p) * (p - q)).sum()
+    return (kl_pq + kl_qp) / 2.0 / sl
+
+
+def rdrop_l2_loss(logits: Array) -> Array:
+    """R-Drop default/\"L2\" variant (ref modeling_t5.py:1686-1689): mean
+    squared difference between the two realisations' softmax outputs."""
+    b = logits.shape[0] // 2
+    p = jax.nn.softmax(logits[:b].astype(jnp.float32), axis=-1)
+    q = jax.nn.softmax(logits[b:].astype(jnp.float32), axis=-1)
+    return jnp.mean((p - q) ** 2)
+
+
 def doc_reweight_loss(logits: Array, labels: Array, label_mask: Array,
                       query_emb: Array, doc_emb: Array) -> Array:
     """CE reweighted by per-example query/doc cosine similarity

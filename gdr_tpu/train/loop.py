@@ -170,9 +170,14 @@ class TrainLoop:
                     # main_models.py:1455-1462; one refreshed store per eval
                     # is the batched equivalent)
                     self._refresh_store()
+                # stage 2 may run eval at its own batch size (the reference
+                # switches batch sizing at the stage boundary,
+                # main_models.py:1910-1917)
+                eval_bs = (cfg.stage2_eval_batch_size
+                           if stage2 else cfg.eval_batch_size)
                 eval_metrics = self.evaluator.evaluate(
                     self.state.params["generator"], self.dev,
-                    batch_size=max(cfg.eval_batch_size, 1))
+                    batch_size=max(eval_bs, 1))
                 metrics.update(eval_metrics)
                 self.ckpt.save(epoch, self.state, metrics)
                 if not best or metrics.get(cfg.monitor, 0) >= best.get(

@@ -88,8 +88,16 @@ def make_train_step(model: GenerativeRetriever, doc_encoder,
                           label_mask, deterministic=False,
                           rngs={"dropout": rng_drop})
         ce = losses.masked_cross_entropy(out["logits"], labels, label_mask)
-        scaled_hidden = out["decoder_hidden"] * (mcfg.d_model ** -0.5)
-        rdrop = losses.rdrop_contrast_loss(scaled_hidden, label_mask)
+        # consistency between the duplicated halves: the reference forces
+        # "Contrast" (modeling_t5.py:1169) but ships KL and L2 variants too
+        # (:1668-1689) — all three honored here via ModelConfig.rdrop_loss
+        if mcfg.rdrop_loss == "Contrast":
+            scaled_hidden = out["decoder_hidden"] * (mcfg.d_model ** -0.5)
+            rdrop = losses.rdrop_contrast_loss(scaled_hidden, label_mask)
+        elif mcfg.rdrop_loss == "KL":
+            rdrop = losses.rdrop_kl_loss(out["logits"])
+        else:                                   # "L2"
+            rdrop = losses.rdrop_l2_loss(out["logits"])
         nci_loss = ce + mcfg.rdrop * rdrop
 
         # denoising aux heads (ref modeling_t5.py:1466-1501, loss added at 1728)

@@ -93,3 +93,57 @@ def test_encoder_classifier():
     assert logits.shape == (2, 7)
     pred = model.apply(params, ids, jnp.ones_like(ids), method=model.predict)
     assert pred.shape == (2,)
+
+
+def test_rdrop_variants_move_and_vanish():
+    """KL and L2 R-Drop variants (ref modeling_t5.py:1668-1689): zero for
+    identical halves, positive for differing halves; trainer honors
+    ModelConfig.rdrop_loss."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gdr_tpu.ops.losses import rdrop_kl_loss, rdrop_l2_loss
+
+    rng = np.random.default_rng(0)
+    half = jnp.asarray(rng.normal(size=(3, 4, 7)), jnp.float32)
+    same = jnp.concatenate([half, half], axis=0)
+    diff = jnp.concatenate(
+        [half, half + jnp.asarray(rng.normal(size=half.shape) * 0.5,
+                                  jnp.float32)], axis=0)
+    for fn in (rdrop_kl_loss, rdrop_l2_loss):
+        assert float(fn(same)) < 1e-6
+        assert float(fn(diff)) > 1e-4
+
+    # trainer switch: a KL-configured step runs and returns finite loss
+    import dataclasses
+    from gdr_tpu.config import tiny_config
+    from gdr_tpu.models.gdr import GenerativeRetriever
+    from gdr_tpu.train.trainer import init_train_state, make_train_step
+
+    cfg = tiny_config()
+    for variant in ("KL", "L2"):
+        mcfg = dataclasses.replace(cfg.model, rdrop_loss=variant)
+        c2 = dataclasses.replace(cfg, model=mcfg)
+        model = GenerativeRetriever(mcfg)
+        state, opt = init_train_state(c2, model, None, jax.random.PRNGKey(0),
+                                      total_steps=10, input_len=8)
+        step = make_train_step(model, None, opt, c2, stage=1)
+        L = mcfg.max_output_length
+        b = 4
+        labels = np.zeros((b, L), np.int32)
+        labels[:, 0] = 2
+        labels[:, 1] = 1
+        batch = {
+            "input_ids": jnp.asarray(rng.integers(2, 100, (b, 8)), jnp.int32),
+            "attn_mask": jnp.ones((b, 8), jnp.int32),
+            "labels": jnp.asarray(labels),
+            "label_mask": jnp.asarray((labels != 0).astype(np.int32)),
+            "pos_idx": jnp.arange(b, dtype=jnp.int32),
+            "cand_idx": jnp.zeros((b, 3), jnp.int32),
+            "cand_mask": jnp.ones((b, 3), bool),
+        }
+        store = jnp.asarray(rng.normal(size=(8, mcfg.encoder_d_model)),
+                            jnp.float32)
+        state, m = step(state, batch, store, jax.random.PRNGKey(1))
+        assert np.isfinite(float(m["loss"])), variant
+        assert float(m["rdrop"]) >= 0.0, variant
