@@ -24,6 +24,7 @@ Set GDR_BENCH_TINY=1 for a CPU-sized smoke run.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import sys
@@ -72,8 +73,6 @@ def quality_phase(tiny: bool) -> dict:
     Reported R@{1,10,100}/MRR@10 plus the ours/oracle R@10 ratio lock the
     end-to-end quality the throughput number alone cannot see.
     """
-    import dataclasses
-
     import jax
     import jax.numpy as jnp
 
@@ -259,8 +258,6 @@ def train_step_phase(tiny: bool) -> dict:
     """Time the flagship train step (t5-base, batch 32, R-Drop duplication
     + InfoNCE) — the number round 1 claimed (103 ms) but never recorded
     in a driver artifact."""
-    import dataclasses
-
     import jax
     import jax.numpy as jnp
 

@@ -223,10 +223,16 @@ def cmd_expand(args) -> None:
     from gdr_tpu.index.expand import expand_with_encoder
     from gdr_tpu.index.io import load_index, save_index
 
+    import dataclasses
+
     index = load_index(args.index)
     titles, texts = _read_corpus_tsv(args.corpus)
     enc = _doc_encoder(args)
     tok = load_tokenizer(args.doc_tokenizer, vocab_size=enc.vocab_size)
+    if tok.vocab_size != enc.vocab_size:
+        # same resize cmd_index applies: ids must fit the embedding table,
+        # and the tower must match the one the index was embedded with
+        enc = dataclasses.replace(enc, vocab_size=tok.vocab_size)
     ids, mask = tok.encode_batch(texts, args.encoder_max_len)
     params = enc.init(jax.random.PRNGKey(args.seed), ids[:2], mask[:2])
     if args.encoder_ckpt:

@@ -248,10 +248,19 @@ def load_gdr_reference(params: dict, state_dict: Mapping[str, Any],
                 _set(inner, my + [attn_my, "v", "kernel"], wv.T)
                 _set(inner, my + [attn_my, "o", "kernel"],
                      _np(state_dict[f"{hf}.{attn_hf}.out_proj.weight"]).T)
-            _set(inner, my + ["ff1", "kernel"],
-                 _np(state_dict[f"{hf}.linear1.weight"]).T)
-            _set(inner, my + ["ff2", "kernel"],
-                 _np(state_dict[f"{hf}.linear2.weight"]).T)
+                out_b = state_dict.get(f"{hf}.{attn_hf}.out_proj.bias")
+                if out_b is not None:
+                    assert not _np(out_b).any(), (
+                        "adaptor out_proj bias must be zero: the gdr_tpu "
+                        "adaptor is biasless (T5-style)")
+            for lin, ff in (("linear1", "ff1"), ("linear2", "ff2")):
+                _set(inner, my + [ff, "kernel"],
+                     _np(state_dict[f"{hf}.{lin}.weight"]).T)
+                lb = state_dict.get(f"{hf}.{lin}.bias")
+                if lb is not None:
+                    assert not _np(lb).any(), (
+                        f"adaptor {lin} bias must be zero: the gdr_tpu "
+                        "adaptor is biasless (T5-style)")
             for n in (1, 2, 3):
                 _set(inner, my + [f"ln{n}", "scale"],
                      _np(state_dict[f"{hf}.norm{n}.weight"]))

@@ -406,6 +406,10 @@ def sample_cids(model, params, input_ids: Array, attn_mask: Array,
             kth = jnp.sort(dist, axis=1)[:, -top_k][:, None]
             dist = jnp.where(dist >= kth, dist, NEG_INF)
         option = jax.random.categorical(key, dist)           # [BK]
+        # finished rollouts are frozen on the EOS slot: a terminal node may
+        # legally still have children (prefix CIDs), and sampling a digit
+        # there would walk `node` past the finished rollout's cluster
+        option = jnp.where(finished, kary, option)
         step_logp = jnp.take_along_axis(
             jax.nn.log_softmax(cand, axis=-1), option[:, None], axis=1)[:, 0]
         is_eos = (option == kary) & ~finished

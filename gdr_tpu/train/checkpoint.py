@@ -91,6 +91,7 @@ class CheckpointManager:
             step, args=ocp.args.StandardRestore(template))
 
     def restore_best(self, template: Any) -> tuple[Optional[int], Any]:
+        self.mgr.wait_until_finished()       # flush any in-flight async save
         step = self.mgr.best_step()
         if step is None:
             return self.restore_latest(template)
@@ -101,6 +102,7 @@ class CheckpointManager:
         """Restore without a template (raw pytree of plain arrays) — for
         consumers that only need a subtree (e.g. eval wants just the
         generator params out of a full TrainState)."""
+        self.mgr.wait_until_finished()       # flush any in-flight async save
         if step is None:
             step = self.mgr.best_step() or self.mgr.latest_step()
         if step is None:

@@ -76,10 +76,15 @@ class TrainLoop:
                                                   f"{workdir}/ckpt")
         self.logger = MetricLogger(workdir, run_name="train")
         self._step_fns: dict[int, object] = {}
-        # auto-resume from the latest checkpoint (preemption recovery)
+        # auto-resume from the latest checkpoint (preemption recovery):
+        # training continues AFTER the checkpointed epoch — restarting at 0
+        # would replay completed epochs at post-schedule learning rates and
+        # collide with existing orbax step numbers
+        self.start_epoch = 0
         step, restored = self.ckpt.restore_latest(self.state)
         if step is not None:
             self.state = restored
+            self.start_epoch = int(step) + 1
             print(f"resumed from checkpoint step {step}")
 
     def _step_fn(self, stage: int):
@@ -115,8 +120,10 @@ class TrainLoop:
         epochs = max_epochs or cfg.num_train_epochs
         best: dict[str, float] = {}
         step_rng = jax.random.fold_in(self.rng, 17)
-        global_step = 0
-        for epoch in range(epochs):
+        steps_per_epoch = max(len(self.train_set)
+                              // max(cfg.train_batch_size, 1), 1)
+        global_step = self.start_epoch * steps_per_epoch
+        for epoch in range(self.start_epoch, epochs):
             stage2 = (epoch > cfg.train_encoder_epoch
                       and self.doc_tokens is not None)
             stage = 2 if stage2 else 1

@@ -158,6 +158,13 @@ def make_train_step(model: GenerativeRetriever, doc_encoder,
             pos_prob = jnp.where(batch["label_mask"] > 0, pos_prob, 1.0)
             neg_prob = jax.nn.softmax(
                 neg_logits.astype(jnp.float32), -1).max(-1)  # [B·N, L]
+            # positions past a negative CID's end must contribute zero
+            # hinge (the model's confident prediction there is not a
+            # "negative beating the positive"): -1 guarantees
+            # margin - (pos - neg) < 0 for any pos ∈ [0, 1]
+            neg_prob = jnp.where(
+                batch["neg_label_mask"].reshape(bsz * n, l) > 0,
+                neg_prob, -1.0)
             rank = losses.margin_ranking_loss(
                 pos_prob[:, None], neg_prob.reshape(bsz, n, l), margin=0.5)
             total = total + rank
