@@ -84,3 +84,24 @@ def test_two_stage_loop_with_live_encoder(tmp_path):
     assert "recall1" in best
     # epoch 1 ran stage 2 → store refreshed from the live tower
     assert not np.allclose(np.asarray(loop.store), old_store)
+
+
+def test_resume_continues_after_checkpointed_epoch(tmp_path):
+    """A resumed loop must continue AFTER the restored epoch — not replay
+    from 0 (which would re-train at post-schedule learning rates and
+    collide with existing orbax step numbers)."""
+    cfg, index, ts, dev = _world()
+    loop = TrainLoop(cfg, index, ts, dev, workdir=str(tmp_path), seed=0)
+    loop.run(max_epochs=2)
+
+    loop2 = TrainLoop(cfg, index, ts, dev, workdir=str(tmp_path), seed=0)
+    assert loop2.start_epoch >= 1
+    step_before = int(loop2.state.step)
+    # running to the same horizon is a no-op (everything already trained);
+    # extending the horizon trains exactly the remaining epochs
+    best = loop2.run(max_epochs=loop2.start_epoch)
+    assert int(loop2.state.step) == step_before
+    loop3 = TrainLoop(cfg, index, ts, dev, workdir=str(tmp_path), seed=0)
+    start = loop3.start_epoch
+    loop3.run(max_epochs=start + 1)
+    assert int(loop3.state.step) > step_before
