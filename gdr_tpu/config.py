@@ -64,6 +64,12 @@ class ModelConfig:
                                      # (ref main_models.py:938-941)
     denoising: bool = False          # masked reconstruction + discrimination
                                      # aux heads (ref modeling_t5.py:1466-1501)
+    # distillation aux losses (ref modeling_t5.py:1697-1717; the reference
+    # wires its versions to fake np.random targets — SURVEY.md §6 defect 7 —
+    # here they train against real in-framework targets: the positive doc's
+    # store embedding and the trie's prefix-node embeddings)
+    embedding_distillation: float = 0.0
+    weight_distillation: float = 0.0
 
     # --- dual encoder (stage 2 doc tower) ------------------------------------
     encoder_d_model: int = 768
@@ -217,6 +223,8 @@ class MeshConfig:
     dp: int = -1                     # -1 → all devices
     mp: int = 1
     axis_names: Sequence[str] = ("dp", "mp")
+    tp_min_size: int = 1 << 14       # smallest param (elements) worth
+                                     # column-sharding over mp
 
 
 @dataclass(frozen=True)

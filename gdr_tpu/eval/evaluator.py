@@ -56,9 +56,24 @@ class Evaluator:
         self.trie = trie
         self.cfg = cfg
         self.mesh = mesh
-        self.packed = packed and mesh is None
+        self.packed = packed
         self.use_pallas = use_pallas
-        if self.packed:
+        if packed and mesh is not None:
+            # distributed packed re-rank: shard-aware layout (whole clusters
+            # per shard) + contiguous-slice local scoring + tiny top-R merge
+            from gdr_tpu.ops.packed_store import (pack_layout_sharded,
+                                                  pack_rows)
+            from gdr_tpu.parallel.store import place_packed_store
+            starts, counts, row_to_doc, cap, shard_rows = \
+                pack_layout_sharded(trie, mesh.devices.size)
+            self._p_starts = jnp.asarray(starts)
+            self._p_counts = jnp.asarray(counts)
+            self._p_row_to_doc = jnp.asarray(row_to_doc)
+            self._p_cap = cap
+            self._p_shard_rows = shard_rows
+            self.store = place_packed_store(
+                np.asarray(pack_rows(store, row_to_doc)), mesh)
+        elif packed:
             from gdr_tpu.ops.packed_store import pack_layout, pack_rows
             starts, counts, row_to_doc, cap = pack_layout(trie)
             self._p_starts = jnp.asarray(starts)
@@ -99,10 +114,13 @@ class Evaluator:
         self._retrieve = jax.jit(self._retrieve_impl)
 
         def _many_impl(params, ids_stack, mask_stack, store, *tables):
+            idxs = jnp.arange(ids_stack.shape[0], dtype=jnp.int32)
+
             def one(args):
-                ids, msk = args
-                return self._retrieve_impl(params, ids, msk, store, *tables)
-            return jax.lax.map(one, (ids_stack, mask_stack))
+                ids, msk, bidx = args
+                return self._retrieve_impl(params, ids, msk, bidx, store,
+                                           *tables)
+            return jax.lax.map(one, (ids_stack, mask_stack, idxs))
 
         self._retrieve_many = jax.jit(_many_impl)
 
@@ -131,18 +149,22 @@ class Evaluator:
         q = self.model.apply(params, q, method=self.model.project_query)
         return q.reshape(b, k, -1)
 
-    def _retrieve_impl(self, params, input_ids, attn_mask, store, children,
-                       eos, cluster_of_node, cluster_docs, cluster_doc_mask,
-                       alphas):
+    def _retrieve_impl(self, params, input_ids, attn_mask, batch_idx, store,
+                       children, eos, cluster_of_node, cluster_docs,
+                       cluster_doc_mask, alphas):
         cfg = self.cfg
         want_dec = (cfg.use_query_embed_decoder_avg
                     or cfg.use_query_embed_decoder_special)
         if cfg.gen_method in ("sample", "top_k"):
             from gdr_tpu.ops.beam import sample_cids
+            # fold the batch counter into the key: a fixed per-config key
+            # would replay the identical noise sequence for every eval batch
+            # (structurally correlated rollouts across the dev set)
             res, q_emb, enc = sample_cids(
                 self.model, params, input_ids, attn_mask, children, eos,
                 cfg.num_beams, self._max_len,
-                jax.random.PRNGKey(cfg.sample_seed),
+                jax.random.fold_in(jax.random.PRNGKey(cfg.sample_seed),
+                                   batch_idx),
                 temperature=cfg.temperature, top_k=cfg.sample_top_k,
                 length_penalty=cfg.length_penalty,
                 accumulate_hidden=want_dec)
@@ -169,7 +191,14 @@ class Evaluator:
                     q_emb = (q_dec + q_emb[:, None, :]) / 2.0
             else:
                 q_emb = q_dec
-        if self.mesh is not None:
+        if self.mesh is not None and self.packed:
+            from gdr_tpu.parallel.store import sharded_rerank_packed
+            rr = sharded_rerank_packed(
+                self.mesh, store, self._p_starts, self._p_counts,
+                self._p_row_to_doc, self._p_cap, self._p_shard_rows,
+                q_emb, res.nodes, res.scores, res.valid, cluster_of_node,
+                alphas, top_r=cfg.num_return_sequences)
+        elif self.mesh is not None:
             from gdr_tpu.parallel.store import sharded_rerank_from_beams
             rr = sharded_rerank_from_beams(
                 self.mesh, store, q_emb, res.nodes, res.scores, res.valid,
@@ -190,10 +219,12 @@ class Evaluator:
                         top_r=cfg.num_return_sequences)
         return res, rr
 
-    def retrieve(self, params, input_ids, attn_mask):
-        """Single-batch retrieval; returns (BeamResult, RerankResult)."""
+    def retrieve(self, params, input_ids, attn_mask, batch_idx: int = 0):
+        """Single-batch retrieval; returns (BeamResult, RerankResult).
+        ``batch_idx`` decorrelates sampling noise across eval batches."""
         return self._retrieve(params, jnp.asarray(input_ids),
-                              jnp.asarray(attn_mask), self.store,
+                              jnp.asarray(attn_mask),
+                              jnp.asarray(batch_idx, jnp.int32), self.store,
                               self._children, self._eos,
                               self._cluster_of_node, self._cluster_docs,
                               self._cluster_doc_mask, self._alphas)
@@ -238,7 +269,8 @@ class Evaluator:
                 [data.attn_mask[start:end]] +
                 ([data.attn_mask[start:start + 1]] * pad if pad else []))
             with timer.phase("retrieve"):
-                res, rr = self.retrieve(params, ids, msk)
+                res, rr = self.retrieve(params, ids, msk,
+                                        batch_idx=start // batch_size)
                 seqs = np.asarray(res.sequences)
                 valid = np.asarray(res.valid)
                 doc_ids = np.asarray(rr.doc_ids)

@@ -32,16 +32,33 @@ class Index:
 
 def embed_corpus(doc_encoder, params, token_ids: np.ndarray,
                  masks: np.ndarray, batch_size: int = 256,
-                 normalize: bool = False) -> np.ndarray:
+                 normalize: bool = False, mesh=None) -> np.ndarray:
     """Batched doc-tower encode of the whole corpus.
 
     One compiled program, batches streamed through the chip — replaces the
-    reference's per-GPU corpus partitioning (bert.py:48-61).  The final
-    partial batch is padded to keep a single compiled shape.
+    reference's per-GPU corpus partitioning (bert.py:48-61, bert_NQ.sh:7-11).
+    The final partial batch is padded to keep a single compiled shape.
+
+    ``mesh``: optional device mesh — each batch is then sharded over the
+    ``dp`` axis (the mesh-native form of the reference's shard-by-process
+    embedding generation); ``batch_size`` is rounded up to a multiple of dp.
     """
     n = token_ids.shape[0]
-    encode = jax.jit(lambda p, t, m: doc_encoder.apply(
-        p, t, m, deterministic=True))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        dp = mesh.shape.get("dp", 1)
+        batch_size = ((batch_size + dp - 1) // dp) * dp
+        data_s = NamedSharding(mesh, P("dp"))
+        out_s = NamedSharding(mesh, P("dp"))
+
+        @jax.jit
+        def encode(p, t, m):
+            emb = doc_encoder.apply(p, t, m, deterministic=True)
+            return jax.lax.with_sharding_constraint(emb, out_s)
+    else:
+        data_s = None
+        encode = jax.jit(lambda p, t, m: doc_encoder.apply(
+            p, t, m, deterministic=True))
     out = np.zeros((n, 0), np.float32)
     # two passes: dispatch every batch first (async), materialise after —
     # a per-batch np.asarray would sync the host to the device each batch,
@@ -58,7 +75,12 @@ def embed_corpus(doc_encoder, params, token_ids: np.ndarray,
                                                 ids.dtype)])
             msk = np.concatenate([msk, np.ones((pad, msk.shape[1]),
                                                msk.dtype)])
-        emb = encode(params, jnp.asarray(ids), jnp.asarray(msk))
+        if data_s is not None:
+            ids = jax.device_put(ids, data_s)
+            msk = jax.device_put(msk, data_s)
+            emb = encode(params, ids, msk)
+        else:
+            emb = encode(params, jnp.asarray(ids), jnp.asarray(msk))
         emb.copy_to_host_async()
         inflight.append((end - start, emb))
     chunks = [np.asarray(emb)[:take] for take, emb in inflight]

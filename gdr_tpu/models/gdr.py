@@ -211,6 +211,24 @@ class GenerativeRetriever(nn.Module):
             self.fuse_queries(q, q)
         return out
 
+    def label_head_vectors(self, decoder_input_ids: Array, labels: Array,
+                           deterministic: bool = True) -> Array:
+        """Adapted lm-head vectors for the label tokens (weight-distillation
+        path, ref modeling_t5.py:1704-1717): base head row + the PAWA delta
+        row for each position's label, projected into the doc-embedding
+        space when it differs from d_model.  Requires the efficient adaptor.
+
+        decoder_input_ids/labels: [B, L].  Returns [B, L, encoder_d_model]."""
+        c = self.cfg
+        assert c.adaptor_decode and c.adaptor_efficient, (
+            "weight distillation requires the efficient PAWA adaptor")
+        x = self.decode_embed(decoder_input_ids)
+        a = self.pawa(x, deterministic=deterministic)
+        base = jnp.take(self._head_weight().T, labels.astype(jnp.int32),
+                        axis=0)                              # [B, L, d]
+        vec = base + self.pawa.label_delta(a, labels)
+        return self.project_query(vec)
+
     def denoise(self, input_ids: Array, attn_mask: Array, keep_mask: Array,
                 rng: Array, deterministic: bool = True) -> tuple[Array, Array]:
         """Denoising auxiliary losses (ref modeling_t5.py:1466-1501):

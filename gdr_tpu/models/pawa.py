@@ -286,6 +286,26 @@ class PawaAdaptor(nn.Module):
                          ).astype(self.dtype)
         return out[:, 0] if single else out
 
+    def label_delta(self, adaptor_out: Array, labels: Array) -> Array:
+        """Per-position head-weight delta vectors for given tokens:
+        Δ[b,l,i] = Σ_j A[b,l,j]·U[j, labels[b,l], i] — the row of the adapted
+        lm-head (ref ``lm_head_weight``, modeling_t5.py:1728-1752) that scores
+        the label token.  Used by weight distillation.  Position-serial map
+        keeps the live gather at [B, d, d] instead of [B, L, d, d].
+
+        adaptor_out: [B, L, d]; labels: [B, L] int.  Returns [B, L, d]."""
+        u = self.u.astype(self.dtype)                        # [d, V, d]
+
+        def per_pos(args):
+            a_l, t_l = args                                  # [B, d], [B]
+            u_sel = jnp.take(u, t_l, axis=1)                 # [d, B, d]
+            return jnp.einsum("bj,jbi->bi", a_l, u_sel,
+                              preferred_element_type=jnp.float32)
+
+        out = jax.lax.map(per_pos, (adaptor_out.transpose(1, 0, 2),
+                                    labels.T.astype(jnp.int32)))
+        return out.transpose(1, 0, 2).astype(self.dtype)
+
     def delta_candidates(self, adaptor_out: Array, decoder_out: Array,
                          first_token: Array, kary: int) -> Array:
         """Decode fast path: delta for ONLY the step-local candidate tokens.

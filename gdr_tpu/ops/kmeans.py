@@ -198,9 +198,12 @@ def hierarchical_kmeans(X: np.ndarray, kary: int, leaf_cap: int,
     paths: list[list[int]] = [[] for _ in range(n_total)]
     key = jax.random.PRNGKey(seed)
 
-    # Per-device-call budget when batching sibling clusters (fp32 rows);
-    # groups above it are chunked.
-    max_rows_per_call = 1 << 20
+    # Per-device-call budget when batching sibling clusters: bytes-based
+    # (≈1.5 GB of gathered fp32 plus like-sized distance intermediates), so
+    # wide feature dims don't scale the footprint past small-HBM devices
+    # with the doc store also resident.  At d=768 this is ~512k rows/call.
+    budget_bytes = 1536 * (1 << 20)
+    max_rows_per_call = max(budget_bytes // (4 * int(X.shape[1])), 1 << 14)
 
     pending: list[tuple[np.ndarray, int]] = [(np.arange(n_total), 0)]
     while pending:

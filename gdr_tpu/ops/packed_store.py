@@ -87,3 +87,48 @@ def pack_store_by_cluster(trie: TrieTensors, store: np.ndarray,
     rows[real] = store[row_to_doc[real]]
     return PackedStore(rows=rows, starts=starts, counts=counts,
                        row_to_doc=row_to_doc, cap=cap)
+
+
+def pack_layout_sharded(trie: TrieTensors, n_shards: int,
+                        cap: int | None = None
+                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                   int, int]:
+    """Shard-aware packed layout: every cluster's contiguous block lives
+    entirely inside ONE of ``n_shards`` equal row ranges, so a row-sharded
+    device placement can slice any cluster locally — the distributed
+    re-rank keeps the packed store's contiguous-slice read pattern instead
+    of the ~25× slower per-row gather (see module docstring).
+
+    Clusters are greedily bin-packed (largest padded block → least-loaded
+    shard) to balance rows; each shard range is padded to a common length
+    ``shard_rows`` with a ``cap`` tail margin so ``start + cap`` never
+    crosses into the next shard.
+
+    Returns (starts [C] global row starts, counts [C], row_to_doc
+    [n_shards·shard_rows], cap, shard_rows)."""
+    c = trie.num_clusters
+    counts = np.zeros(c, np.int32)
+    padded = np.zeros(c, np.int64)
+    for row, node in enumerate(trie.cluster_node_ids):
+        cnt = int(trie.doc_count[node])
+        counts[row] = cnt
+        padded[row] = -(-max(cnt, 1) // ALIGN) * ALIGN
+    max_count = int(counts.max()) if c else 0
+    cap = cap or max(-(-max_count // ALIGN) * ALIGN, ALIGN)
+    loads = np.zeros(n_shards, np.int64)
+    bin_of = np.zeros(c, np.int32)
+    offset = np.zeros(c, np.int64)
+    for r in np.argsort(-padded, kind="stable"):
+        b = int(np.argmin(loads))
+        bin_of[r] = b
+        offset[r] = loads[b]
+        loads[b] += padded[r]
+    shard_rows = int(-(-(int(loads.max()) + cap) // ALIGN) * ALIGN)
+    starts = (bin_of.astype(np.int64) * shard_rows + offset).astype(np.int32)
+    m = n_shards * shard_rows
+    row_to_doc = np.full(m, -1, np.int32)
+    for row, node in enumerate(trie.cluster_node_ids):
+        s, cnt = int(trie.doc_start[node]), int(trie.doc_count[node])
+        row_to_doc[starts[row]:starts[row] + cnt] = \
+            trie.doc_indices[s:s + cnt]
+    return starts, counts, row_to_doc, cap, shard_rows

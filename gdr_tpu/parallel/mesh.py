@@ -43,8 +43,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Place a host batch dict with its leading axis sharded over ``dp``.
+
+    Multi-host safe: every process constructs the same *global* batch (the
+    iterators are seeded identically, like the reference's
+    ``DistributedSampler`` with a shared epoch seed, main_models.py:1990) and
+    each process materialises only its addressable shards — the per-process
+    data sharding DDP gets from the sampler, without shard files."""
     s = batch_sharding(mesh)
-    return {k: jax.device_put(v, s) for k, v in batch.items()}
+    if jax.process_count() == 1:
+        return {k: jax.device_put(v, s) for k, v in batch.items()}
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        out[k] = jax.make_array_from_callback(
+            v.shape, s, lambda idx, v=v: v[idx])
+    return out
 
 
 def tp_param_rules(mp: int, min_size: int = 1 << 14) -> Callable:

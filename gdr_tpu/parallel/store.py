@@ -115,3 +115,85 @@ def sharded_rerank_from_beams(mesh: Mesh, store: Array, query_emb: Array,
         mesh, store, query_emb, docs, mask, probs, None, alphas, top_r, squash)
     return RerankResult(doc_ids=doc_ids, scores=scores, doc_valid=ok,
                         cluster_probs=probs)
+
+
+def place_packed_store(rows: np.ndarray, mesh: Mesh) -> Array:
+    """Place a shard-aware packed store (ops/packed_store.pack_layout_sharded
+    rows — already an exact multiple of the mesh size) row-sharded."""
+    assert rows.shape[0] % mesh.devices.size == 0, (
+        rows.shape, mesh.devices.size)
+    return jax.device_put(
+        rows, NamedSharding(mesh, P(tuple(mesh.axis_names))))
+
+
+def sharded_rerank_packed(mesh: Mesh, packed_rows: Array, starts: Array,
+                          counts: Array, row_to_doc: Array, cap: int,
+                          shard_rows: int, query_emb: Array, nodes: Array,
+                          beam_scores: Array, valid: Array,
+                          cluster_of_node: Array, alphas: Array,
+                          top_r: int, squash: str = "tanh") -> "RerankResult":
+    """Distributed re-rank over the cluster-packed store.
+
+    Unlike :func:`sharded_rerank` (per-row gather of candidate embeddings —
+    the pattern packed_store.py measures ~25× slower than streaming), every
+    shard owns whole clusters (pack_layout_sharded), so a beam's candidates
+    are ONE contiguous ``[cap, d]`` block inside the owner shard; non-owner
+    shards mask the beam out.  Cross-chip traffic stays the tiny per-shard
+    top-R merge.
+    """
+    fn = jnp.tanh if squash == "tanh" else jax.nn.sigmoid
+    axes = tuple(mesh.axis_names)
+    n_shards = mesh.devices.size
+    assert packed_rows.shape[0] == n_shards * shard_rows
+    a = alphas.shape[0]
+    b, k = nodes.shape
+    rows = cluster_of_node[nodes]                            # [B, K]
+    ok = valid & (rows >= 0)
+    rows_c = jnp.maximum(rows, 0)
+    start = starts[rows_c]                                   # [B, K] global
+    count = counts[rows_c]
+    probs = jax.nn.softmax(
+        jnp.where(valid, beam_scores, NEG_INF).astype(jnp.float32), axis=-1)
+    if query_emb.ndim == 2:
+        query_emb = jnp.broadcast_to(query_emb[:, None, :],
+                                     (b, k, query_emb.shape[-1]))
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(axes), P(), P(), P(), P(), P(), P()),
+             out_specs=(P(), P()), check_vma=False)
+    def impl(store_local, q, start, count, ok, probs, alphas):
+        store_local = store_local.reshape(shard_rows, -1)
+        shard = jax.lax.axis_index(axes)
+        owned = ok & (start // shard_rows == shard)
+        local = jnp.clip(start - shard * shard_rows, 0,
+                         shard_rows - cap)                   # [B, K]
+        idx = local[..., None] + jnp.arange(cap)[None, None]  # contiguous
+        emb = store_local[idx.reshape(b, -1)].reshape(b, k, cap, -1)
+        sim = fn(jnp.einsum("bkd,bkcd->bkc", q.astype(jnp.float32),
+                            emb.astype(jnp.float32)))
+        mask = ((jnp.arange(cap)[None, None] < count[..., None])
+                & owned[..., None])
+        fused = (sim[None]
+                 + alphas[:, None, None, None] * probs[None, :, :, None])
+        fused = jnp.where(mask[None], fused, NEG_INF)
+        flat = fused.reshape(a, b, k * cap)
+        loc_scores, loc_idx = jax.lax.top_k(flat, min(top_r, k * cap))
+        g_rows = (shard * shard_rows
+                  + (local[..., None] + jnp.arange(cap)[None, None])
+                  ).reshape(1, b, k * cap)
+        loc_rows = jnp.take_along_axis(
+            jnp.broadcast_to(g_rows, flat.shape), loc_idx, axis=-1)
+        g_scores = jax.lax.all_gather(loc_scores, axes, axis=2, tiled=True)
+        g_rows = jax.lax.all_gather(loc_rows, axes, axis=2, tiled=True)
+        m_scores, m_idx = jax.lax.top_k(g_scores, top_r)
+        m_rows = jnp.take_along_axis(g_rows, m_idx, axis=-1)
+        return m_rows, m_scores
+
+    top_rows, top_scores = impl(packed_rows, query_emb, start, count, ok,
+                                probs, alphas)
+    top_docs = row_to_doc[top_rows]                          # replicated map
+    from gdr_tpu.ops.rerank import RerankResult
+    return RerankResult(doc_ids=top_docs.astype(jnp.int32),
+                        scores=top_scores,
+                        doc_valid=top_scores > NEG_INF / 2,
+                        cluster_probs=probs)

@@ -73,7 +73,12 @@ class CheckpointManager:
         mgr.save(step, args=ocp.args.StandardSave(state))
         mgr.wait_until_finished()
 
-    def restore_latest(self, template: Any) -> tuple[Optional[int], Any]:
+    def restore_latest(self, template: Any
+                       ) -> tuple[Optional[int], Any, bool]:
+        """Returns ``(step, state, preempted)``.  ``preempted`` marks a
+        mid-epoch preemption save — the epoch at ``step`` is incomplete and
+        must be re-run, unlike an end-of-epoch save (which resumes AFTER
+        ``step``)."""
         self.mgr.wait_until_finished()       # flush any in-flight async save
         step = self.mgr.latest_step()
         import os
@@ -84,11 +89,11 @@ class CheckpointManager:
         # epoch (post-eval) than a mid-epoch preemption save.
         if p_step is not None and (step is None or p_step > step):
             return p_step, self._preempt_mgr().restore(
-                p_step, args=ocp.args.StandardRestore(template))
+                p_step, args=ocp.args.StandardRestore(template)), True
         if step is None:
-            return None, template
+            return None, template, False
         return step, self.mgr.restore(
-            step, args=ocp.args.StandardRestore(template))
+            step, args=ocp.args.StandardRestore(template)), False
 
     def restore_best(self, template: Any) -> tuple[Optional[int], Any]:
         self.mgr.wait_until_finished()       # flush any in-flight async save

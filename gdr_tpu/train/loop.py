@@ -40,7 +40,16 @@ class TrainLoop:
                  doc_tokens: Optional[np.ndarray] = None,
                  doc_tok_mask: Optional[np.ndarray] = None,
                  doc_encoder: Optional[DocEncoder] = None,
-                 eval_every: int = 1):
+                 eval_every: int = 1, mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` (axes ``dp``/``mp``) —
+        training then runs SPMD over it: batches sharded over ``dp``,
+        parameters replicated (or column-sharded over ``mp`` via
+        ``tp_param_rules``), the doc-embedding store row-sharded over the
+        whole mesh, and gradients reduced over ICI by XLA.  This is the
+        trainer-integrated equivalent of the reference's DDP wiring
+        (main.py:86-104 + DistributedSampler main_models.py:1990,1999).
+        Multi-host: call ``jax.distributed.initialize`` first and pass a
+        process-spanning mesh."""
         self.cfg = cfg
         self.index = index
         self.train_set = train_set
@@ -49,12 +58,29 @@ class TrainLoop:
         self.doc_tokens = doc_tokens
         self.doc_tok_mask = doc_tok_mask
         self.eval_every = eval_every
+        self.mesh = mesh
+        if mesh is not None:
+            dp = mesh.shape.get("dp", 1)
+            for name, b in (("train_batch_size", cfg.train.train_batch_size),
+                            ("stage2_train_batch_size",
+                             cfg.train.stage2_train_batch_size)):
+                if b % dp != 0:
+                    raise ValueError(
+                        f"TrainConfig.{name}={b} must be divisible by the "
+                        f"mesh dp axis ({dp}) so every device gets equal "
+                        f"batch shards")
 
         self.rng = set_seed(seed)
-        self.model = GenerativeRetriever(cfg.model)
+        # TrainConfig.bf16 — the TPU-native answer to the reference's
+        # optional apex AMP (main.py:61-62,103): bf16 compute throughout the
+        # towers while Flax keeps parameters (and hence the optimizer state)
+        # fp32, and every loss reduction upcasts to fp32 (ops/losses.py)
+        dtype = jnp.bfloat16 if cfg.train.bf16 else jnp.float32
+        self.model = GenerativeRetriever(cfg.model, dtype=dtype)
         self.doc_encoder = doc_encoder
         if doc_tokens is not None and doc_encoder is None:
-            self.doc_encoder = DocEncoder(d_model=cfg.model.encoder_d_model)
+            self.doc_encoder = DocEncoder(d_model=cfg.model.encoder_d_model,
+                                          dtype=dtype)
 
         steps_per_epoch = max(len(train_set) // cfg.train.train_batch_size, 1)
         total = steps_per_epoch * cfg.train.num_train_epochs
@@ -62,10 +88,21 @@ class TrainLoop:
             cfg, self.model, self.doc_encoder, self.rng, total_steps=total,
             input_len=train_set.input_ids.shape[1],
             encoder_len=(doc_tokens.shape[1] if doc_tokens is not None else 16))
-        self.store = jnp.asarray(index.store)
+        if mesh is not None:
+            from gdr_tpu.parallel.mesh import shard_params, tp_param_rules
+            from gdr_tpu.parallel.store import place_store
+            rule = (tp_param_rules(mp=mesh.shape["mp"],
+                                   min_size=cfg.mesh.tp_min_size)
+                    if mesh.shape.get("mp", 1) > 1 else None)
+            self.state = self.state.replace(
+                params=shard_params(self.state.params, mesh, rule),
+                opt_state=shard_params(self.state.opt_state, mesh, rule))
+            self.store = place_store(np.asarray(index.store), mesh)
+        else:
+            self.store = jnp.asarray(index.store)
         self.lookup = cluster_docs_lookup(index.cid_of_doc)
         self.evaluator = Evaluator(self.model, index.trie, index.store,
-                                   cfg.eval)
+                                   cfg.eval, mesh=mesh)
         self._neg_kwargs: dict = {}
         if cfg.data.hard_negative and cfg.data.sample_neg_num > 0:
             from gdr_tpu.data.dataset import doc_label_arrays
@@ -75,17 +112,24 @@ class TrainLoop:
         self.ckpt = CheckpointManager.from_config(cfg.train,
                                                   f"{workdir}/ckpt")
         self.logger = MetricLogger(workdir, run_name="train")
+        self.last_epoch_metrics: dict[str, float] = {}
         self._step_fns: dict[int, object] = {}
         # auto-resume from the latest checkpoint (preemption recovery):
         # training continues AFTER the checkpointed epoch — restarting at 0
         # would replay completed epochs at post-schedule learning rates and
         # collide with existing orbax step numbers
         self.start_epoch = 0
-        step, restored = self.ckpt.restore_latest(self.state)
+        step, restored, preempted = self.ckpt.restore_latest(self.state)
         if step is not None:
             self.state = restored
-            self.start_epoch = int(step) + 1
-            print(f"resumed from checkpoint step {step}")
+            # a mid-epoch preemption save means epoch ``step`` is incomplete:
+            # re-run that epoch from its first batch (some early batches are
+            # trained twice, none are silently skipped) — an end-of-epoch
+            # save resumes after it
+            self.start_epoch = int(step) if preempted else int(step) + 1
+            print(f"resumed from checkpoint step {step}"
+                  + (" (mid-epoch preemption: re-running the epoch)"
+                     if preempted else ""))
 
     def _step_fn(self, stage: int):
         if stage not in self._step_fns:
@@ -97,8 +141,13 @@ class TrainLoop:
         from gdr_tpu.index.builder import embed_corpus
         emb = embed_corpus(self.doc_encoder, self.state.params["doc_encoder"],
                            self.doc_tokens, self.doc_tok_mask,
-                           batch_size=min(256, len(self.doc_tokens)))
-        self.store = jnp.asarray(emb)
+                           batch_size=min(256, len(self.doc_tokens)),
+                           mesh=self.mesh)
+        if self.mesh is not None:
+            from gdr_tpu.parallel.store import place_store
+            self.store = place_store(np.asarray(emb), self.mesh)
+        else:
+            self.store = jnp.asarray(emb)
         self.evaluator.store = self.store
 
     def _augment_stage2(self, batch: dict) -> dict:
@@ -120,9 +169,17 @@ class TrainLoop:
         epochs = max_epochs or cfg.num_train_epochs
         best: dict[str, float] = {}
         step_rng = jax.random.fold_in(self.rng, 17)
-        steps_per_epoch = max(len(self.train_set)
-                              // max(cfg.train_batch_size, 1), 1)
-        global_step = self.start_epoch * steps_per_epoch
+
+        def _epoch_steps(e: int) -> int:
+            # stage-2 epochs iterate at stage2_train_batch_size, so a resume
+            # past the stage boundary must count per-epoch steps stage-aware
+            # (log cadence / metric x-axis; the optimizer step itself is
+            # restored from the checkpoint)
+            s2 = e > cfg.train_encoder_epoch and self.doc_tokens is not None
+            b = cfg.stage2_train_batch_size if s2 else cfg.train_batch_size
+            return max(len(self.train_set) // max(b, 1), 1)
+
+        global_step = sum(_epoch_steps(e) for e in range(self.start_epoch))
         for epoch in range(self.start_epoch, epochs):
             stage2 = (epoch > cfg.train_encoder_epoch
                       and self.doc_tokens is not None)
@@ -139,23 +196,37 @@ class TrainLoop:
             for batch in it:
                 if stage2:
                     batch = self._augment_stage2(batch)
-                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                if (self.cfg.model.weight_distillation > 0
+                        and self.index.trie.node_embedding is not None):
+                    from gdr_tpu.ops.trie import prefix_node_embeddings
+                    pe, pm = prefix_node_embeddings(
+                        self.index.trie, batch["labels"],
+                        batch["label_mask"], self.cfg.model.kary,
+                        self.cfg.model.position)
+                    batch = dict(batch, prefix_emb=pe, prefix_emb_mask=pm)
+                if self.mesh is not None:
+                    from gdr_tpu.parallel.mesh import shard_batch
+                    batch = shard_batch(batch, self.mesh)
+                else:
+                    batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 self.state, m = step_fn(self.state, batch, self.store,
                                         step_rng)
                 global_step += 1
-                loss = float(m["loss"])
-                if not np.isfinite(loss):
-                    raise FloatingPointError(
-                        f"non-finite loss at step {global_step} "
-                        f"(epoch {epoch}): "
-                        f"{ {k: float(v) for k, v in m.items()} } — "
-                        "check store embeddings / learning rates")
-                losses.append(loss)
+                # keep the loss as a device scalar: a per-step float() is a
+                # host sync that serialises dispatch (≈30 ms/step through a
+                # tunnelled chip); finiteness is checked at every log point
+                # and at epoch end instead
+                losses.append(m["loss"])
                 if "ranking_loss" in m:
-                    rank_losses.append(float(m["ranking_loss"]))
+                    rank_losses.append(m["ranking_loss"])
                 if global_step % cfg.log_every_steps == 0:
-                    self.logger.log({k: float(v) for k, v in m.items()},
-                                    global_step)
+                    vals = {k: float(v) for k, v in m.items()}
+                    if not np.isfinite(vals["loss"]):
+                        raise FloatingPointError(
+                            f"non-finite loss at step {global_step} "
+                            f"(epoch {epoch}): {vals} — "
+                            "check store embeddings / learning rates")
+                    self.logger.log(vals, global_step)
                 if guard.should_stop:
                     # preempted: persist a resume point and exit cleanly
                     # (separate retention from the best-k policy so the
@@ -164,19 +235,33 @@ class TrainLoop:
                     self.logger.log({"preempted": 1}, global_step)
                     self.logger.close()
                     return best
+            losses = [float(v) for v in losses]
+            avg_loss = float(np.mean(losses)) if losses else 0.0
+            if losses and not np.isfinite(avg_loss):
+                bad = next(i for i, v in enumerate(losses)
+                           if not np.isfinite(v))
+                raise FloatingPointError(
+                    f"non-finite loss in epoch {epoch} (first at batch "
+                    f"{bad}: {losses[bad]}) — check store embeddings / "
+                    "learning rates")
             metrics = {"epoch": epoch, "stage": stage,
-                       "avg_train_loss": float(np.mean(losses)) if losses else 0.0,
+                       "avg_train_loss": avg_loss,
                        "epoch_seconds": time.perf_counter() - t0}
             if rank_losses:
-                metrics["avg_ranking_loss"] = float(np.mean(rank_losses))
+                metrics["avg_ranking_loss"] = float(
+                    np.mean([float(v) for v in rank_losses]))
             if (epoch + 1) % self.eval_every == 0:
                 if stage2:
                     # stage 2 trains the doc tower live: refresh the store so
                     # the dense re-rank scores against current embeddings
                     # (the reference re-encodes candidates per eval batch,
                     # main_models.py:1455-1462; one refreshed store per eval
-                    # is the batched equivalent)
+                    # is the batched equivalent).  The full-corpus re-embed
+                    # is the dominant stage-2 eval cost — surface it.
+                    t_ref = time.perf_counter()
                     self._refresh_store()
+                    metrics["store_refresh_seconds"] = (
+                        time.perf_counter() - t_ref)
                 # stage 2 may run eval at its own batch size (the reference
                 # switches batch sizing at the stage boundary,
                 # main_models.py:1910-1917)
@@ -191,5 +276,6 @@ class TrainLoop:
                         cfg.monitor, float("-inf")):
                     best = dict(metrics)
             self.logger.log(metrics, global_step)
+            self.last_epoch_metrics = metrics
         self.logger.close()
         return best

@@ -99,6 +99,32 @@ def make_train_step(model: GenerativeRetriever, doc_encoder,
         else:                                   # "L2"
             rdrop = losses.rdrop_l2_loss(out["logits"])
         nci_loss = ce + mcfg.rdrop * rdrop
+        aux_metrics: dict[str, Array] = {}
+
+        # ---- distillation aux losses (ref modeling_t5.py:1697-1717, whose
+        # shipped targets are np.random fakes — SURVEY.md §6 defect 7; here
+        # the intended objectives train against real in-framework targets)
+        if mcfg.embedding_distillation > 0:
+            # encoder EOS state → the positive doc's dense embedding (the
+            # in-framework stand-in for the reference's precomputed per-query
+            # AR2 embeddings, main_models.py:469)
+            enc_p = model.apply(params["generator"],
+                                out["encoder_hidden"][:b],
+                                method=model.project_query)
+            edl = losses.embedding_distillation_loss(
+                enc_p, batch["input_ids"], store[batch["pos_idx"]])
+            nci_loss = nci_loss + mcfg.embedding_distillation * edl
+            aux_metrics["embed_distill"] = edl
+        if mcfg.weight_distillation > 0 and "prefix_emb" in batch:
+            # adapted lm-head rows for the label tokens → the trie's
+            # prefix-node embeddings (ops/trie.prefix_node_embeddings)
+            vec = model.apply(params["generator"], dec_in[:b],
+                              batch["labels"],
+                              method=model.label_head_vectors)
+            wdl = losses.weight_distillation_loss(
+                vec, batch["prefix_emb"], batch["prefix_emb_mask"])
+            nci_loss = nci_loss + mcfg.weight_distillation * wdl
+            aux_metrics["weight_distill"] = wdl
 
         # denoising aux heads (ref modeling_t5.py:1466-1501, loss added at 1728)
         if mcfg.denoising:
@@ -133,7 +159,7 @@ def make_train_step(model: GenerativeRetriever, doc_encoder,
 
         total = nci_loss + contrast
         metrics = {"nci_loss": nci_loss, "ce": ce, "rdrop": rdrop,
-                   "contrast_loss": contrast}
+                   "contrast_loss": contrast, **aux_metrics}
 
         # ---- hard-negative ranking loss (intended behavior of the
         # reference's cal_contrastive ranking branch, main_models.py:

@@ -26,16 +26,16 @@ def test_restore_latest_resume(tmp_path):
                             mode="min", save_top_k=2)
     mgr.save(5, _state(5.0), {"avg_train_loss": 1.0})
     mgr.save(6, _state(6.0), {"avg_train_loss": 0.5})
-    step, restored = mgr.restore_latest(_state(0.0))
-    assert step == 6
+    step, restored, preempted = mgr.restore_latest(_state(0.0))
+    assert step == 6 and not preempted
     assert int(restored["step"]) == 6
     mgr.close()
 
 
 def test_restore_empty(tmp_path):
     mgr = CheckpointManager(str(tmp_path / "empty"))
-    step, restored = mgr.restore_latest(_state(9.0))
-    assert step is None
+    step, restored, preempted = mgr.restore_latest(_state(9.0))
+    assert step is None and not preempted
     np.testing.assert_allclose(np.asarray(restored["params"]["w"]), 9.0)
     mgr.close()
 
@@ -48,8 +48,8 @@ def test_preemption_save_survives_best_k_gc(tmp_path):
                             mode="max", save_top_k=1)
     mgr.save(1, _state(1.0), {"recall1": 0.9})     # best checkpoint
     mgr.save_preemption(3, _state(3.0))            # mid-epoch preemption
-    step, restored = mgr.restore_latest(_state(0.0))
-    assert step == 3
+    step, restored, preempted = mgr.restore_latest(_state(0.0))
+    assert step == 3 and preempted
     np.testing.assert_allclose(np.asarray(restored["params"]["w"]), 3.0)
     # best checkpoint is untouched
     step, best = mgr.restore_best(_state(0.0))
@@ -64,8 +64,8 @@ def test_preemption_tie_prefers_regular(tmp_path):
                             mode="max", save_top_k=1)
     mgr.save_preemption(2, _state(20.0))
     mgr.save(2, _state(2.0), {"recall1": 0.9})
-    step, restored = mgr.restore_latest(_state(0.0))
-    assert step == 2
+    step, restored, preempted = mgr.restore_latest(_state(0.0))
+    assert step == 2 and not preempted
     np.testing.assert_allclose(np.asarray(restored["params"]["w"]), 2.0)
     mgr.close()
 
@@ -77,7 +77,7 @@ def test_async_checkpointing_roundtrip(tmp_path):
                             mode="max", save_top_k=2, async_save=True)
     mgr.save(1, _state(1.0), {"recall1": 0.2})
     mgr.save(2, _state(2.0), {"recall1": 0.7})
-    step, restored = mgr.restore_latest(_state(0.0))
+    step, restored, preempted = mgr.restore_latest(_state(0.0))
     assert step == 2
     np.testing.assert_allclose(np.asarray(restored["params"]["w"]), 2.0)
     step, best = mgr.restore_best(_state(0.0))

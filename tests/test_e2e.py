@@ -148,3 +148,30 @@ def test_retrieve_many_matches_retrieve(trained):
         np.testing.assert_array_equal(np.asarray(rr_m.doc_valid)[g], v)
         np.testing.assert_array_equal(np.asarray(rr_m.doc_ids)[g][v],
                                       np.asarray(rr.doc_ids)[v])
+
+
+def test_eval_sampling_decorrelated_across_batches(trained):
+    """Weak #5 (round 2): the jitted sampling retrieve must not reuse one
+    fixed key for every eval batch — batch_idx folds into the key."""
+    from gdr_tpu.models.gdr import init_params
+
+    task, model, state, _ = trained
+    ev_cfg = dataclasses.replace(CFG.eval, num_beams=4,
+                                 num_return_sequences=4, score_rates=(0.0,),
+                                 gen_method="sample", temperature=2.0)
+    ev = Evaluator(model, task.trie, task.store, ev_cfg)
+    # untrained params: near-uniform rollout distribution, so different keys
+    # must yield different samples (a trained model may be deterministic-
+    # peaked regardless of noise)
+    params = init_params(model, jax.random.PRNGKey(3))
+    r0, _ = ev.retrieve(params, task.input_ids[:2], task.attn_mask[:2],
+                        batch_idx=0)
+    r1, _ = ev.retrieve(params, task.input_ids[:2], task.attn_mask[:2],
+                        batch_idx=1)
+    rr0, _ = ev.retrieve(params, task.input_ids[:2], task.attn_mask[:2],
+                         batch_idx=0)
+    # same batch_idx → reproducible; different batch_idx → fresh noise
+    np.testing.assert_array_equal(np.asarray(r0.sequences),
+                                  np.asarray(rr0.sequences))
+    assert not np.array_equal(np.asarray(r0.sequences),
+                              np.asarray(r1.sequences))

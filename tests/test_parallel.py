@@ -168,3 +168,79 @@ def test_sharded_rerank_per_beam_queries():
                                   np.asarray(ref.doc_ids))
     np.testing.assert_allclose(np.asarray(got.scores),
                                np.asarray(ref.scores), rtol=1e-5, atol=1e-5)
+
+
+def test_trainloop_on_mesh_matches_single_device(tmp_path):
+    """The user-facing TrainLoop on a dp×mp mesh must reproduce the
+    single-device loss trajectory (same seeds → same batches → same math,
+    collectives only change reduction order)."""
+    import dataclasses as dc
+    from gdr_tpu.config import tiny_config
+    from gdr_tpu.data.dataset import TrainSet
+    from gdr_tpu.data.synthetic import build_synthetic_task
+    from gdr_tpu.eval.evaluator import EvalData
+    from gdr_tpu.index.builder import Index
+    from gdr_tpu.train.loop import TrainLoop
+
+    cfg = tiny_config(kary=3, max_output_length=5)
+    cfg = cfg.replace(
+        model=dc.replace(cfg.model, dropout_rate=0.0),
+        train=dc.replace(cfg.train, train_batch_size=8, eval_batch_size=4,
+                         num_train_epochs=2, train_encoder_epoch=99,
+                         bf16=False, learning_rate=3e-3,
+                         decoder_learning_rate=3e-3),
+        eval=dc.replace(cfg.eval, num_beams=4, num_return_sequences=4,
+                        score_rates=(0.0,)),
+        mesh=dc.replace(cfg.mesh, tp_min_size=256))
+    task = build_synthetic_task(n_docs=16, dim=16, kary=3, leaf_cap=4,
+                                seq_len=8, vocab_size=cfg.model.vocab_size,
+                                max_output_length=5, seed=0)
+    index = Index(store=task.store, trie=task.trie, paths=task.paths,
+                  cid_of_doc=task.cid_of_doc)
+    ts = TrainSet(input_ids=task.input_ids, attn_mask=task.attn_mask,
+                  labels=task.labels, label_mask=task.label_mask,
+                  pos_idx=task.pos_idx, source=["gtq"] * len(task.pos_idx))
+    dev = EvalData(input_ids=task.input_ids, attn_mask=task.attn_mask,
+                   gt_docs=task.gt_docs, gt_cids=task.gt_cids)
+
+    single = TrainLoop(cfg, index, ts, dev, workdir=str(tmp_path / "s"),
+                       seed=0)
+    best_s = single.run(max_epochs=2)
+    mesh = make_mesh(MeshConfig(dp=4, mp=2))
+    multi = TrainLoop(cfg, index, ts, dev, workdir=str(tmp_path / "m"),
+                      seed=0, mesh=mesh)
+    best_m = multi.run(max_epochs=2)
+
+    np.testing.assert_allclose(
+        multi.last_epoch_metrics["avg_train_loss"],
+        single.last_epoch_metrics["avg_train_loss"], rtol=2e-4, atol=2e-4)
+    assert best_m["recall1"] == best_s["recall1"]
+    # the batch really was sharded over dp and params over mp
+    u = multi.state.params["generator"]["params"]["pawa"]["u"]
+    assert not u.sharding.is_fully_replicated
+
+
+def test_trainloop_mesh_batch_divisibility():
+    import dataclasses as dc
+    from gdr_tpu.config import tiny_config
+    from gdr_tpu.data.dataset import TrainSet
+    from gdr_tpu.data.synthetic import build_synthetic_task
+    from gdr_tpu.eval.evaluator import EvalData
+    from gdr_tpu.index.builder import Index
+    from gdr_tpu.train.loop import TrainLoop
+
+    cfg = tiny_config(kary=3, max_output_length=5)
+    cfg = cfg.replace(train=dc.replace(cfg.train, train_batch_size=6))
+    task = build_synthetic_task(n_docs=12, dim=16, kary=3, leaf_cap=4,
+                                seq_len=8, vocab_size=cfg.model.vocab_size,
+                                max_output_length=5, seed=0)
+    index = Index(store=task.store, trie=task.trie, paths=task.paths,
+                  cid_of_doc=task.cid_of_doc)
+    ts = TrainSet(input_ids=task.input_ids, attn_mask=task.attn_mask,
+                  labels=task.labels, label_mask=task.label_mask,
+                  pos_idx=task.pos_idx, source=["gtq"] * len(task.pos_idx))
+    dev = EvalData(input_ids=task.input_ids, attn_mask=task.attn_mask,
+                   gt_docs=task.gt_docs, gt_cids=task.gt_cids)
+    mesh = make_mesh(MeshConfig(dp=4, mp=2))
+    with pytest.raises(ValueError, match="divisible"):
+        TrainLoop(cfg, index, ts, dev, workdir="/tmp/x", seed=0, mesh=mesh)

@@ -180,3 +180,109 @@ def test_no_negatives_no_ranking_key():
              for k, v in batch_slice(task, np.arange(4)).items()}
     _, m = step_fn(state, batch, jnp.asarray(task.store), jax.random.PRNGKey(1))
     assert "ranking_loss" not in m
+
+
+def test_bf16_train_step_matches_fp32(task):
+    """TrainConfig.bf16 semantics: bf16 compute with fp32 params/optimizer —
+    the step must produce a loss close to the fp32 step (upcast reductions)
+    and must NOT downcast any parameter."""
+    mcfg = dataclasses.replace(CFG.model, dropout_rate=0.0)
+    cfg = CFG.replace(train=dataclasses.replace(CFG.train, bf16=True))
+    idx = np.arange(8)
+    batch = {k: jnp.asarray(v) for k, v in batch_slice(task, idx).items()}
+    store = jnp.asarray(task.store)
+    rng = jax.random.PRNGKey(1)
+
+    losses = {}
+    for dtype in (jnp.float32, jnp.bfloat16):
+        model = GenerativeRetriever(mcfg, dtype=dtype)
+        state, opt = init_train_state(cfg, model, None, jax.random.PRNGKey(0),
+                                      total_steps=100, input_len=8)
+        # params are fp32 regardless of compute dtype
+        for leaf in jax.tree_util.tree_leaves(state.params):
+            assert leaf.dtype == jnp.float32, leaf.dtype
+        step_fn = make_train_step(model, None, opt, cfg, stage=1)
+        state, m = step_fn(state, batch, store, rng)
+        assert np.isfinite(float(m["loss"]))
+        for leaf in jax.tree_util.tree_leaves(state.params):
+            assert leaf.dtype == jnp.float32, leaf.dtype
+        losses[str(dtype.__name__)] = float(m["loss"])
+    # bf16 matmuls round at ~3 decimal digits; the losses agree loosely
+    assert abs(losses["float32"] - losses["bfloat16"]) < 0.05 * max(
+        1.0, abs(losses["float32"])), losses
+
+
+def test_trainloop_builds_bf16_model(tmp_path):
+    """TrainLoop consumes TrainConfig.bf16 (round-2 dead knob)."""
+    from gdr_tpu.train.loop import TrainLoop
+    from gdr_tpu.data.dataset import TrainSet
+    from gdr_tpu.eval.evaluator import EvalData
+    from gdr_tpu.index.builder import Index
+
+    cfg = tiny_config(kary=3, max_output_length=5)
+    t = build_synthetic_task(n_docs=12, dim=16, kary=3, leaf_cap=4,
+                             seq_len=8, vocab_size=cfg.model.vocab_size,
+                             max_output_length=5, seed=0)
+    index = Index(store=t.store, trie=t.trie, paths=t.paths,
+                  cid_of_doc=t.cid_of_doc)
+    ts = TrainSet(input_ids=t.input_ids, attn_mask=t.attn_mask,
+                  labels=t.labels, label_mask=t.label_mask,
+                  pos_idx=t.pos_idx, source=["gtq"] * len(t.pos_idx))
+    dev = EvalData(input_ids=t.input_ids, attn_mask=t.attn_mask,
+                   gt_docs=t.gt_docs, gt_cids=t.gt_cids)
+    loop = TrainLoop(cfg.replace(train=dataclasses.replace(
+        cfg.train, bf16=True)), index, ts, dev, workdir=str(tmp_path))
+    assert loop.model.dtype == jnp.bfloat16
+    loop2 = TrainLoop(cfg.replace(train=dataclasses.replace(
+        cfg.train, bf16=False)), index, ts, dev,
+        workdir=str(tmp_path / "fp32"))
+    assert loop2.model.dtype == jnp.float32
+
+
+def test_distillation_losses_wired(task):
+    """embedding/weight distillation (ref modeling_t5.py:1697-1717) reach the
+    train step with REAL targets and decrease under training."""
+    from gdr_tpu.ops.trie import prefix_node_embeddings
+
+    mcfg = dataclasses.replace(CFG.model, dropout_rate=0.0,
+                               embedding_distillation=1.0,
+                               weight_distillation=1.0)
+    cfg = CFG.replace(model=mcfg, train=dataclasses.replace(
+        CFG.train, learning_rate=3e-3, decoder_learning_rate=3e-3))
+    model = GenerativeRetriever(mcfg)
+    state, opt = init_train_state(cfg, model, None, jax.random.PRNGKey(0),
+                                  total_steps=1000, input_len=8)
+    step_fn = make_train_step(model, None, opt, cfg, stage=1)
+    store = jnp.asarray(task.store)
+    idx = np.arange(8)
+    batch = batch_slice(task, idx)
+    pe, pm = prefix_node_embeddings(task.trie, batch["labels"],
+                                    batch["label_mask"], kary=3)
+    assert pm.sum() > 0          # real prefixes hit real trie nodes
+    batch = {k: jnp.asarray(v) for k, v in
+             dict(batch, prefix_emb=pe, prefix_emb_mask=pm).items()}
+    rng = jax.random.PRNGKey(1)
+    hist = []
+    for _ in range(30):
+        state, m = step_fn(state, batch, store, rng)
+        hist.append((float(m["embed_distill"]), float(m["weight_distill"])))
+    assert np.isfinite(hist[-1]).all()
+    assert hist[-1][0] < hist[0][0]      # embedding distillation decreases
+    assert hist[-1][1] < hist[0][1]      # weight distillation decreases
+
+
+def test_prefix_node_embeddings_match_manual_walk(task):
+    """prefix target of position l == node embedding of digits[:l]."""
+    from gdr_tpu.ops.trie import prefix_node_embeddings
+
+    labels, lmask = task.labels[:4], task.label_mask[:4]
+    emb, msk = prefix_node_embeddings(task.trie, labels, lmask, kary=3)
+    for b in range(4):
+        digits = task.paths[b]
+        for l in range(len(digits)):
+            node = task.trie.node_of_path(digits[:l])
+            assert msk[b, l] == 1.0
+            np.testing.assert_allclose(
+                emb[b, l], task.trie.node_embedding[node], rtol=1e-6)
+        # EOS/pad positions are masked out
+        assert msk[b, len(digits):].sum() == 0
