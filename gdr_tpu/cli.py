@@ -43,11 +43,43 @@ def _model_config(args, store_dim=None):
                       max_output_length=args.max_output_length,
                       adaptor_decode=not args.no_adaptor,
                       adaptor_layer_num=args.adaptor_layers,
-                      rdrop=args.rdrop).scaled(args.model_size)
+                      rdrop=args.rdrop,
+                      embedding_distillation=getattr(
+                          args, "embed_distill", 0.0),
+                      weight_distillation=getattr(
+                          args, "weight_distill", 0.0)).scaled(args.model_size)
     if store_dim is not None:
         # the dense stage scores in the doc-embedding space of the index
         cfg = dataclasses.replace(cfg, encoder_d_model=int(store_dim))
     return cfg
+
+
+def _mesh_from_flag(spec: str | None, batch_size: int | None = None):
+    """``--mesh`` values: "none" (single device), "auto" (data-parallel over
+    the visible devices — the reference's `gpus=list(range(n_gpu))`,
+    main.py:70), or "DP,MP" explicit.
+
+    With ``batch_size``, "auto" picks the largest dp that divides the batch
+    (a batch of 6 on 8 chips trains dp=6) instead of erroring."""
+    if spec in (None, "none"):
+        return None
+    import jax
+
+    from gdr_tpu.config import MeshConfig
+    from gdr_tpu.parallel.mesh import make_mesh
+    if spec == "auto":
+        n = jax.device_count()
+        dp = n
+        if batch_size is not None:
+            while dp > 1 and batch_size % dp != 0:
+                dp -= 1
+        if dp == 1:
+            return None
+        return make_mesh(MeshConfig(dp=dp), devices=jax.devices()[:dp])
+    parts = [int(x) for x in spec.split(",")]
+    dp, mp = parts[0], (parts[1] if len(parts) > 1 else 1)
+    return make_mesh(MeshConfig(dp=dp, mp=mp),
+                     devices=jax.devices()[:dp * mp])
 
 
 def _doc_encoder(args):
@@ -134,10 +166,14 @@ def cmd_train(args) -> None:
     if tok.vocab_size != mcfg.vocab_size:
         mcfg = dataclasses.replace(mcfg, vocab_size=tok.vocab_size)
     tcfg = TrainConfig(train_batch_size=args.batch_size,
+                       stage2_train_batch_size=(args.stage2_batch_size
+                                                or args.batch_size),
                        num_train_epochs=args.epochs,
                        train_encoder_epoch=args.train_encoder_epoch,
                        learning_rate=args.lr,
                        decoder_learning_rate=args.decoder_lr,
+                       gradient_accumulation_steps=args.grad_accum,
+                       bf16=not args.no_bf16,
                        checkpoint_dir=f"{args.workdir}/ckpt")
     from gdr_tpu.config import DataConfig
     dcfg = DataConfig(hard_negative=args.hard_negatives != "none",
@@ -156,6 +192,34 @@ def cmd_train(args) -> None:
     dev = build_eval_data(dev_q, dev_pos, index.cid_of_doc, tok,
                           args.max_input_length)
 
+    # secondary training modes (ref main.py flag surface :260-448)
+    if args.ensemble > 1:
+        from gdr_tpu.train.modes import eval_ensemble, train_ensemble
+        train_ensemble(mcfg, index, train_set, num_decoders=args.ensemble,
+                       epochs=args.epochs, lr=args.lr,
+                       batch_size=args.batch_size, workdir=args.workdir,
+                       seed=args.seed, leaf_cap=args.leaf_cap)
+        out = eval_ensemble(mcfg, index, dev, args.workdir,
+                            num_decoders=args.ensemble, beam=args.beam)
+        print(json.dumps(out, indent=2, sort_keys=True))
+        return
+    if args.hierarchic:
+        from gdr_tpu.train.modes import train_eval_hierarchic
+        out = train_eval_hierarchic(mcfg, index, train_set, dev,
+                                    epochs=args.epochs, lr=args.lr,
+                                    batch_size=args.batch_size,
+                                    workdir=args.workdir, seed=args.seed)
+        print(json.dumps(out, indent=2, sort_keys=True))
+        return
+    if args.softmax:
+        from gdr_tpu.train.modes import train_eval_softmax
+        out = train_eval_softmax(mcfg, index, train_set, dev,
+                                 epochs=args.epochs, lr=args.lr,
+                                 batch_size=args.batch_size,
+                                 workdir=args.workdir, seed=args.seed)
+        print(json.dumps(out, indent=2, sort_keys=True))
+        return
+
     if args.hard_negatives == "bm25":
         # mining needs the document text (ref bm25_preprocess.py:42-61)
         from gdr_tpu.data.negatives import bm25_negatives
@@ -170,8 +234,30 @@ def cmd_train(args) -> None:
             len(queries), len(index.paths), positives,
             k=max(args.sample_neg_num * 3, 10), seed=args.seed)
 
+    if args.qg:
+        # merge generated pseudo-queries (the `qg` subcommand's .npz) —
+        # the reference's load_qg merge of docTTTTTquery shards
+        # (generate_training_data.py:92-112)
+        from gdr_tpu.data.dataset import TrainSet, build_train_set_from_tokens
+        z = np.load(args.qg)
+        qt, qm = z["query_tokens"], z["query_mask"]
+        s_train = train_set.input_ids.shape[1]
+        if qt.shape[1] < s_train:              # align widths for concat
+            pad = s_train - qt.shape[1]
+            qt = np.pad(qt, ((0, 0), (0, pad)))
+            qm = np.pad(qm, ((0, 0), (0, pad)))
+        elif qt.shape[1] > s_train:
+            qt, qm = qt[:, :s_train], qm[:, :s_train]
+        qg_ts = build_train_set_from_tokens(
+            qt, qm, [int(s) for s in z["source_doc"]], index.paths, mcfg)
+        n_qg = len(qg_ts)
+        train_set = TrainSet.concat([train_set, qg_ts])
+        print(f"merged {n_qg} qg pseudo-queries "
+              f"(train set now {len(train_set)})")
+
     loop = TrainLoop(cfg, index, train_set, dev,
-                     workdir=args.workdir, seed=args.seed)
+                     workdir=args.workdir, seed=args.seed,
+                     mesh=_mesh_from_flag(args.mesh, args.batch_size))
     loop.run()
 
 
@@ -193,6 +279,18 @@ def cmd_eval(args) -> None:
     tok = load_tokenizer(args.tokenizer, vocab_size=mcfg.vocab_size)
     if tok.vocab_size != mcfg.vocab_size:
         mcfg = dataclasses.replace(mcfg, vocab_size=tok.vocab_size)
+
+    if args.ensemble > 1:
+        from gdr_tpu.train.modes import eval_ensemble
+        dev_q, dev_pos = _read_query_tsv(args.dev)
+        dev = build_eval_data(dev_q, dev_pos, index.cid_of_doc, tok,
+                              args.max_input_length)
+        out = eval_ensemble(mcfg, index, dev, args.workdir,
+                            num_decoders=args.ensemble, beam=args.beam,
+                            batch_size=args.eval_batch_size)
+        print(json.dumps(out, indent=2, sort_keys=True))
+        return
+
     model = GenerativeRetriever(mcfg)
     params = init_params(model, jax.random.PRNGKey(args.seed),
                          input_len=args.max_input_length)
@@ -211,6 +309,7 @@ def cmd_eval(args) -> None:
                         temperature=args.temperature,
                         sample_top_k=args.sample_top_k)
     evaluator = Evaluator(model, index.trie, index.store, ev_cfg,
+                          mesh=_mesh_from_flag(args.mesh),
                           packed=args.packed, use_pallas=args.pallas)
     out = evaluator.evaluate(params, dev, batch_size=args.eval_batch_size)
     print(json.dumps(out, indent=2, sort_keys=True))
@@ -241,6 +340,101 @@ def cmd_expand(args) -> None:
     save_index(args.out, bigger)
     print(f"expanded: {len(index.paths)} → {len(bigger.paths)} docs "
           f"→ {args.out}")
+
+
+def _ensure_eos(q_ids: "np.ndarray") -> "np.ndarray":
+    """EOS-terminate tokenized queries (seq2seq targets): EOS at the first
+    pad slot, or the last slot when the row is full."""
+    import numpy as np
+    q = np.asarray(q_ids).copy()
+    for i in range(len(q)):
+        pads = np.flatnonzero(q[i] == 0)
+        q[i, pads[0] if len(pads) else -1] = 1
+    return q
+
+
+def cmd_qg(args) -> None:
+    """Query generation — the in-framework docTTTTTquery pipeline.
+
+    The reference finetunes/runs docTTTTTquery via an *external*
+    ``t5_mesh_transformer`` job and merges pickle shards
+    (README.md:24-52, generate_training_data.py:92-112); here one command
+    optionally finetunes a doc→query Seq2SeqLM on the train TSV and samples
+    ``--n-per-doc`` pseudo-queries per corpus doc into a token-level .npz
+    consumed by ``train --qg`` (no string round-trip).
+    """
+    import jax
+    import numpy as np
+    import optax
+
+    from gdr_tpu.data.tokenize import load_tokenizer
+    from gdr_tpu.models.seq2seq import (Seq2SeqLM, generate_queries,
+                                        make_qg_train_step)
+
+    import dataclasses
+
+    titles, texts = _read_corpus_tsv(args.corpus)
+    mcfg = _model_config(args)
+    tok = load_tokenizer(args.tokenizer, vocab_size=mcfg.vocab_size)
+    if tok.vocab_size != mcfg.vocab_size:
+        mcfg = dataclasses.replace(mcfg, vocab_size=tok.vocab_size)
+    doc_ids, doc_mask = tok.encode_batch(texts, args.doc_length)
+    model = Seq2SeqLM(mcfg)
+    dummy_q = np.zeros((2, args.max_query_length), np.int32)
+    params = model.init({"params": jax.random.PRNGKey(args.seed)},
+                        doc_ids[:2], doc_mask[:2], dummy_q,
+                        np.ones_like(dummy_q))
+
+    if args.train:
+        queries, positives = _read_query_tsv(args.train)
+        q_ids, _ = tok.encode_batch(queries, args.max_query_length)
+        q_ids = _ensure_eos(q_ids)
+        pos = np.asarray([p[0] for p in positives], np.int64)
+        opt = optax.adamw(args.lr)
+        opt_state = opt.init(params)
+        step = make_qg_train_step(model, opt)
+        rng = np.random.default_rng(args.seed)
+        bs = min(args.batch_size, len(queries))
+        for epoch in range(args.qg_epochs):
+            order = rng.permutation(len(queries))
+            losses = []
+            for s in range(0, len(order) - bs + 1, bs):
+                idx = order[s:s + bs]
+                batch = {"doc_tokens": doc_ids[pos[idx]],
+                         "doc_mask": doc_mask[pos[idx]],
+                         "query_tokens": q_ids[idx]}
+                params, opt_state, loss = step(
+                    params, opt_state, batch,
+                    jax.random.PRNGKey(epoch * 10_007 + s))
+                losses.append(float(loss))
+            print(f"qg epoch {epoch}: loss {np.mean(losses):.4f}")
+
+    all_toks, all_src = [], []
+    bs = min(args.batch_size, len(texts))
+    for s in range(0, len(texts), bs):
+        e = min(s + bs, len(texts))
+        ids, msk = doc_ids[s:e], doc_mask[s:e]
+        if e - s < bs:        # pad to the compiled shape
+            pad = bs - (e - s)
+            ids = np.concatenate([ids, np.zeros((pad, ids.shape[1]),
+                                                ids.dtype)])
+            msk = np.concatenate([msk, np.ones((pad, msk.shape[1]),
+                                               msk.dtype)])
+        toks, src = generate_queries(
+            model, params, ids, msk, n_per_doc=args.n_per_doc,
+            max_len=args.max_query_length,
+            rng=jax.random.PRNGKey(args.seed * 7919 + s),
+            temperature=args.temperature, top_k=args.sample_top_k)
+        keep = np.asarray(src) < (e - s)
+        all_toks.append(np.asarray(toks)[keep])
+        all_src.append(np.asarray(src)[keep] + s)
+    q_toks = np.concatenate(all_toks)
+    src = np.concatenate(all_src)
+    np.savez(args.out, query_tokens=q_toks.astype(np.int32),
+             query_mask=(q_toks != 0).astype(np.int32),
+             source_doc=src.astype(np.int32))
+    print(f"qg: {len(q_toks)} pseudo-queries "
+          f"({args.n_per_doc}/doc × {len(texts)} docs) → {args.out}")
 
 
 def cmd_calculate(args) -> None:
@@ -295,6 +489,9 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--tokenizer", default=None)
     pt.add_argument("--max-input-length", type=int, default=40)
     pt.add_argument("--batch-size", type=int, default=64)
+    pt.add_argument("--stage2-batch-size", type=int, default=None,
+                    help="stage-2 batch size (default: --batch-size; the "
+                         "reference halves it at the stage switch)")
     pt.add_argument("--epochs", type=int, default=500)
     pt.add_argument("--train-encoder-epoch", type=int, default=51)
     pt.add_argument("--lr", type=float, default=2e-4)
@@ -308,6 +505,35 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--sample-neg-num", type=int, default=2)
     pt.add_argument("--corpus", default=None,
                     help="docs TSV (needed for --hard-negatives bm25)")
+    pt.add_argument("--mesh", default="auto",
+                    help="device mesh: 'auto' (all chips data-parallel), "
+                         "'none', or 'DP,MP' (e.g. 4,2)")
+    pt.add_argument("--grad-accum", type=int, default=1,
+                    help="gradient accumulation steps (ref derives 8/n_gpu, "
+                         "main.py:410)")
+    pt.add_argument("--no-bf16", action="store_true",
+                    help="train in fp32 (bf16 compute is the default)")
+    pt.add_argument("--embed-distill", type=float, default=0.0,
+                    help="embedding-distillation weight (ref "
+                         "--embedding_distillation)")
+    pt.add_argument("--weight-distill", type=float, default=0.0,
+                    help="lm-head weight-distillation weight (ref "
+                         "--weight_distillation)")
+    pt.add_argument("--qg", default=None,
+                    help=".npz of generated pseudo-queries (from the `qg` "
+                         "subcommand) to merge into the train set")
+    pt.add_argument("--ensemble", type=int, default=1,
+                    help="train N decoders over N docid assignments "
+                         "(ref --multiple_decoder)")
+    pt.add_argument("--leaf-cap", type=int, default=30,
+                    help="leaf cap for the ensemble's alternative k-means "
+                         "assignments")
+    pt.add_argument("--hierarchic", action="store_true",
+                    help="one decoder stack per CID depth "
+                         "(ref --hierarchic_decode)")
+    pt.add_argument("--softmax", action="store_true",
+                    help="encoder-only softmax cluster classification "
+                         "(ref --softmax)")
     pt.set_defaults(fn=cmd_train)
 
     pe = sub.add_parser("eval", help="standalone evaluation")
@@ -329,6 +555,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="cluster-packed store (contiguous per-beam slices)")
     pe.add_argument("--pallas", action="store_true",
                     help="Pallas re-rank kernel (TPU)")
+    pe.add_argument("--mesh", default="none",
+                    help="device mesh for the sharded-store re-rank: "
+                         "'none', 'auto', or 'DP,MP'")
+    pe.add_argument("--ensemble", type=int, default=1,
+                    help="evaluate an N-decoder ensemble checkpoint "
+                         "(ref --multiple_decoder)")
     pe.add_argument("--seed", type=int, default=42)
     pe.set_defaults(fn=cmd_eval)
 
@@ -346,6 +578,27 @@ def build_parser() -> argparse.ArgumentParser:
     pc = sub.add_parser("calculate", help="offline metrics from result TSV")
     pc.add_argument("--result", required=True)
     pc.set_defaults(fn=cmd_calculate)
+
+    pq = sub.add_parser("qg", help="generate pseudo-queries per doc "
+                                   "(in-framework docTTTTTquery)")
+    _add_common_model_flags(pq)
+    pq.add_argument("--corpus", required=True)
+    pq.add_argument("--out", required=True, help=".npz output")
+    pq.add_argument("--train", default=None,
+                    help="train TSV to finetune doc→query first")
+    pq.add_argument("--tokenizer", default=None)
+    pq.add_argument("--doc-length", type=int, default=64)
+    pq.add_argument("--max-query-length", type=int, default=40)
+    pq.add_argument("--n-per-doc", type=int, default=5,
+                    help="pseudo-queries per doc (ref QG_NUM, "
+                         "generate_training_data.py:122)")
+    pq.add_argument("--qg-epochs", type=int, default=3)
+    pq.add_argument("--batch-size", type=int, default=64)
+    pq.add_argument("--lr", type=float, default=1e-3)
+    pq.add_argument("--temperature", type=float, default=1.0)
+    pq.add_argument("--sample-top-k", type=int, default=10)
+    pq.add_argument("--seed", type=int, default=42)
+    pq.set_defaults(fn=cmd_qg)
 
     pk = sub.add_parser("tokenizer",
                         help="train a subword tokenizer over a corpus")

@@ -132,3 +132,86 @@ def test_cli_real_vocab_end_to_end(world, capsys, tmp_path):
     out = capsys.readouterr().out
     metrics = json.loads(out[out.index("{"):])
     assert "recall1" in metrics
+
+
+def test_cli_qg_and_merge(world, capsys):
+    """qg subcommand → .npz → train --qg merges pseudo-queries."""
+    tmp = world
+    assert os.path.exists(tmp / "index.npz"), "runs after the index test"
+    cli.main(["qg", "--corpus", str(tmp / "docs.tsv"),
+              "--out", str(tmp / "qg.npz"), "--model-size", "tiny",
+              "--kary", "3", "--max-output-length", "5",
+              "--train", str(tmp / "train.tsv"), "--doc-length", "12",
+              "--max-query-length", "12", "--n-per-doc", "2",
+              "--qg-epochs", "1", "--batch-size", "6"])
+    out = capsys.readouterr().out
+    assert "pseudo-queries" in out
+    z = np.load(tmp / "qg.npz")
+    assert z["query_tokens"].shape[0] == 36          # 2 per doc × 18
+    assert z["source_doc"].max() == 17
+
+    cli.main(["train", "--index", str(tmp / "index.npz"),
+              "--train", str(tmp / "train.tsv"), "--dev", str(tmp / "dev.tsv"),
+              "--workdir", str(tmp / "run_qg"), "--model-size", "tiny",
+              "--kary", "3", "--max-output-length", "5",
+              "--max-input-length", "12", "--batch-size", "6",
+              "--epochs", "1", "--beam", "4", "--adaptor-layers", "1",
+              "--qg", str(tmp / "qg.npz"), "--mesh", "none"])
+    out = capsys.readouterr().out
+    assert "merged 36 qg pseudo-queries" in out
+
+
+def test_cli_ensemble(world, capsys):
+    tmp = world
+    cli.main(["train", "--index", str(tmp / "index.npz"),
+              "--train", str(tmp / "train.tsv"), "--dev", str(tmp / "dev.tsv"),
+              "--workdir", str(tmp / "run_ens"), "--model-size", "tiny",
+              "--kary", "3", "--max-output-length", "5",
+              "--max-input-length", "12", "--batch-size", "6",
+              "--epochs", "1", "--beam", "4", "--adaptor-layers", "1",
+              "--ensemble", "2", "--leaf-cap", "6"])
+    out = capsys.readouterr().out
+    metrics = json.loads(out[out.index("{"):])
+    assert "recall1" in metrics
+    assert os.path.exists(tmp / "run_ens" / "ensemble.msgpack")
+
+    cli.main(["eval", "--index", str(tmp / "index.npz"),
+              "--dev", str(tmp / "dev.tsv"),
+              "--workdir", str(tmp / "run_ens"), "--model-size", "tiny",
+              "--kary", "3", "--max-output-length", "5",
+              "--max-input-length", "12", "--beam", "4",
+              "--adaptor-layers", "1", "--ensemble", "2",
+              "--eval-batch-size", "6"])
+    out = capsys.readouterr().out
+    metrics = json.loads(out[out.index("{"):])
+    assert "recall1" in metrics
+
+
+def test_cli_softmax(world, capsys):
+    tmp = world
+    cli.main(["train", "--index", str(tmp / "index.npz"),
+              "--train", str(tmp / "train.tsv"), "--dev", str(tmp / "dev.tsv"),
+              "--workdir", str(tmp / "run_sm"), "--model-size", "tiny",
+              "--kary", "3", "--max-output-length", "5",
+              "--max-input-length", "12", "--batch-size", "6",
+              "--epochs", "2", "--softmax"])
+    out = capsys.readouterr().out
+    metrics = json.loads(out[out.index("{"):])
+    assert "cluster_recall1" in metrics
+    assert np.isfinite(metrics["final_loss"])
+    assert os.path.exists(tmp / "run_sm" / "softmax.msgpack")
+
+
+def test_cli_hierarchic(world, capsys):
+    tmp = world
+    cli.main(["train", "--index", str(tmp / "index.npz"),
+              "--train", str(tmp / "train.tsv"), "--dev", str(tmp / "dev.tsv"),
+              "--workdir", str(tmp / "run_h"), "--model-size", "tiny",
+              "--kary", "3", "--max-output-length", "5",
+              "--max-input-length", "12", "--batch-size", "6",
+              "--epochs", "1", "--adaptor-layers", "1", "--hierarchic"])
+    out = capsys.readouterr().out
+    metrics = json.loads(out[out.index("{"):])
+    assert "cluster_recall1" in metrics
+    assert np.isfinite(metrics["final_loss"])
+    assert os.path.exists(tmp / "run_h" / "hierarchic.msgpack")
