@@ -179,6 +179,12 @@ class TrainConfig:
     async_checkpointing: bool = False  # background orbax serialization
     monitor: str = "recall1"
     log_every_steps: int = 50
+    # stage-2 store refresh: fraction of the corpus re-embedded per eval
+    # epoch (rotating slice).  1.0 = full re-embed (the reference
+    # re-encodes candidates per eval batch, main_models.py:1455-1462); a
+    # fraction amortises the ~full-corpus encode across eval epochs when
+    # the corpus is large (round-2 Weak #8)
+    stage2_refresh_fraction: float = 1.0
 
 
 @dataclass(frozen=True)

@@ -199,10 +199,12 @@ def hierarchical_kmeans(X: np.ndarray, kary: int, leaf_cap: int,
     key = jax.random.PRNGKey(seed)
 
     # Per-device-call budget when batching sibling clusters: bytes-based
-    # (≈1.5 GB of gathered fp32 plus like-sized distance intermediates), so
+    # (≈3 GB of gathered fp32 plus like-sized distance intermediates), so
     # wide feature dims don't scale the footprint past small-HBM devices
-    # with the doc store also resident.  At d=768 this is ~512k rows/call.
-    budget_bytes = 1536 * (1 << 20)
+    # with the doc store also resident.  At d=768 this is 1M rows/call —
+    # the empirically-tuned round-2 operating point (halving it measured
+    # 1.95 s → 4.4 s on the 334k NQ-scale build).
+    budget_bytes = 3 * (1 << 30)
     max_rows_per_call = max(budget_bytes // (4 * int(X.shape[1])), 1 << 14)
 
     pending: list[tuple[np.ndarray, int]] = [(np.arange(n_total), 0)]

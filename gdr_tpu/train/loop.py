@@ -113,6 +113,8 @@ class TrainLoop:
                                                   f"{workdir}/ckpt")
         self.logger = MetricLogger(workdir, run_name="train")
         self.last_epoch_metrics: dict[str, float] = {}
+        self._refresh_cursor = 0
+        self._host_store: Optional[np.ndarray] = None
         self._step_fns: dict[int, object] = {}
         # auto-resume from the latest checkpoint (preemption recovery):
         # training continues AFTER the checkpointed epoch — restarting at 0
@@ -127,9 +129,10 @@ class TrainLoop:
             # trained twice, none are silently skipped) — an end-of-epoch
             # save resumes after it
             self.start_epoch = int(step) if preempted else int(step) + 1
+            import sys
             print(f"resumed from checkpoint step {step}"
                   + (" (mid-epoch preemption: re-running the epoch)"
-                     if preempted else ""))
+                     if preempted else ""), file=sys.stderr)
 
     def _step_fn(self, stage: int):
         if stage not in self._step_fns:
@@ -139,15 +142,34 @@ class TrainLoop:
 
     def _refresh_store(self) -> None:
         from gdr_tpu.index.builder import embed_corpus
-        emb = embed_corpus(self.doc_encoder, self.state.params["doc_encoder"],
-                           self.doc_tokens, self.doc_tok_mask,
-                           batch_size=min(256, len(self.doc_tokens)),
-                           mesh=self.mesh)
+        n = len(self.doc_tokens)
+        frac = self.cfg.train.stage2_refresh_fraction
+        if frac >= 1.0:
+            emb = embed_corpus(self.doc_encoder,
+                               self.state.params["doc_encoder"],
+                               self.doc_tokens, self.doc_tok_mask,
+                               batch_size=min(256, n), mesh=self.mesh)
+            self._host_store = np.asarray(emb)
+        else:
+            # rotating-slice refresh: re-embed only a fraction per eval
+            # epoch; the remainder stays at its last embedding
+            take = max(int(n * frac), 1)
+            idx = (np.arange(self._refresh_cursor,
+                             self._refresh_cursor + take) % n)
+            emb = embed_corpus(self.doc_encoder,
+                               self.state.params["doc_encoder"],
+                               self.doc_tokens[idx], self.doc_tok_mask[idx],
+                               batch_size=min(256, take), mesh=self.mesh)
+            if self._host_store is None:
+                self._host_store = np.array(self.index.store, np.float32,
+                                            copy=True)
+            self._host_store[idx] = np.asarray(emb)
+            self._refresh_cursor = (self._refresh_cursor + take) % n
         if self.mesh is not None:
             from gdr_tpu.parallel.store import place_store
-            self.store = place_store(np.asarray(emb), self.mesh)
+            self.store = place_store(self._host_store, self.mesh)
         else:
-            self.store = jnp.asarray(emb)
+            self.store = jnp.asarray(self._host_store)
         self.evaluator.store = self.store
 
     def _augment_stage2(self, batch: dict) -> dict:

@@ -105,3 +105,34 @@ def test_resume_continues_after_checkpointed_epoch(tmp_path):
     start = loop3.start_epoch
     loop3.run(max_epochs=start + 1)
     assert int(loop3.state.step) > step_before
+
+
+def test_incremental_store_refresh(tmp_path):
+    """stage2_refresh_fraction < 1: only a rotating slice re-embeds per
+    eval epoch; the rest keeps its previous embedding."""
+    import dataclasses as dc
+    import numpy as np
+    from gdr_tpu.models.dual_encoder import tiny_doc_encoder
+
+    cfg, index, ts, dev = _world()
+    cfg = cfg.replace(train=dc.replace(
+        cfg.train, train_encoder_epoch=-1, num_train_epochs=1,
+        stage2_train_batch_size=4, stage2_refresh_fraction=0.5))
+    rng = np.random.default_rng(0)
+    doc_tokens = rng.integers(1, 500, size=(len(index.store), 12)).astype(np.int32)
+    doc_mask = np.ones_like(doc_tokens)
+    enc = tiny_doc_encoder(d_model=index.store.shape[1])
+    loop = TrainLoop(cfg, index, ts, dev, workdir=str(tmp_path / "inc"),
+                     seed=0, doc_tokens=doc_tokens, doc_tok_mask=doc_mask,
+                     doc_encoder=enc)
+    orig = np.asarray(loop.store).copy()
+    loop._refresh_store()
+    s1 = np.asarray(loop.store)
+    n = len(orig)
+    changed = ~np.all(np.isclose(s1, orig, atol=1e-7), axis=1)
+    assert changed[: n // 2].all()            # first half re-embedded
+    assert not changed[n // 2:].any()         # second half untouched
+    loop._refresh_store()                     # cursor advanced
+    s2 = np.asarray(loop.store)
+    changed2 = ~np.all(np.isclose(s2, s1, atol=1e-7), axis=1)
+    assert changed2[n // 2:].all()
