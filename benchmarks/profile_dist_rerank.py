@@ -89,6 +89,13 @@ def main() -> None:
         "dist_rerank_packed_ms": round(packed_ms, 2),
         "dist_rerank_n_docs": n_docs,
         "dist_rerank_mesh": "4x2 virtual cpu",
+        # virtual-CPU timing validates the collective program, not the
+        # memory system: the packed layout's advantage is TPU DMA behavior
+        # (contiguous slices vs per-row gather, measured ~25x on-chip —
+        # ops/packed_store.py; single-chip bench: packed+pallas fastest);
+        # CPU gathers are cache-friendly either way
+        "dist_rerank_note": "cpu-virtual: program-shape timing only; "
+                            "packed-vs-gather advantage is TPU DMA behavior",
     }))
 
 

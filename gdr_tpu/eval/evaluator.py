@@ -276,15 +276,20 @@ class Evaluator:
                 doc_ids = np.asarray(rr.doc_ids)
                 doc_valid = np.asarray(rr.doc_valid)
             with timer.phase("decode_host"):
-                for b in range(end - start):
+                # one vectorised pass per batch: per-sequence NumPy calls
+                # and per-id str() were ~27% of eval wall at beam 100
+                nb, k = end - start, seqs.shape[1]
+                cids_flat = decode_token_batch(
+                    seqs[:nb].reshape(nb * k, -1), kary)
+                doc_str = doc_ids[:, :nb].astype(str)
+                for b in range(nb):
                     q = start + b
-                    cids = decode_token_batch(seqs[b], kary)
-                    cluster_preds[q] = [c for c, v in zip(cids, valid[b]) if v]
-                    doc_preds[q] = {}
-                    for a, alpha in enumerate(self.cfg.score_rates):
-                        doc_preds[q][alpha] = [
-                            str(int(d)) for d, v in zip(doc_ids[a, b],
-                                                        doc_valid[a, b]) if v]
+                    cluster_preds[q] = [
+                        cids_flat[b * k + j]
+                        for j in np.flatnonzero(valid[b])]
+                    doc_preds[q] = {
+                        alpha: doc_str[a, b][doc_valid[a, b]].tolist()
+                        for a, alpha in enumerate(self.cfg.score_rates)}
 
         if result_tsv is not None:
             from gdr_tpu.eval.offline import write_result_tsv
