@@ -111,11 +111,21 @@ def quality_phase(tiny: bool) -> dict:
         epochs, bsz, beams, n_dev = 2, 32, 10, 64
         mpreset, L = "tiny", 5
     else:
-        n_docs, n_topics, dim, kary, leaf_cap = 50_000, 512, 64, 30, 30
+        # topics sized to leaf clusters (≈20 docs < leaf_cap): the cluster
+        # of a doc is then determined by its topic — cluster prediction is
+        # learnable topic classification (real NQ semantics: semantically
+        # close docs share clusters) and the dense re-rank separates docs
+        # within a topic.  512 topics × ~98 docs spread each topic over ~4
+        # leaves, turning stage 1 into pure 50k-row memorisation — weeks of
+        # epochs, not a bench.
+        n_docs, n_topics, dim, kary, leaf_cap = 50_000, 2500, 64, 30, 30
         epochs = int(os.environ.get("GDR_BENCH_Q_EPOCHS", "12"))
         bsz, beams, n_dev = 128, 64, 2048
         mpreset, L = "small", 6
-    seq_len = 12
+    # synthetic words fragment to ~4 subword pieces each: a 7-word query
+    # needs ~29 tokens (measured) — truncating below that destroys the
+    # topic/doc signal and nothing trains
+    seq_len = 32 if not tiny else 12
 
     t_phase = {}
     rng = np.random.default_rng(11)
@@ -182,9 +192,9 @@ def quality_phase(tiny: bool) -> dict:
                    gt_cids=[[index.cid_of_doc[int(d)]] for d in dev_docs])
 
     # doc tokens for the stage-2 live tower (two-stage schedule)
-    doc_tok, doc_tok_mask = tok.encode_batch(texts, 24)
+    doc_tok, doc_tok_mask = tok.encode_batch(texts, 48 if not tiny else 24)
 
-    lr = float(os.environ.get("GDR_BENCH_Q_LR", "1e-3"))
+    lr = float(os.environ.get("GDR_BENCH_Q_LR", "3e-4"))
     cfg = GDRConfig(
         model=mcfg,
         train=TrainConfig(train_batch_size=bsz, stage2_train_batch_size=bsz,
@@ -192,6 +202,10 @@ def quality_phase(tiny: bool) -> dict:
                           train_encoder_epoch=max(epochs - 3, 0),
                           learning_rate=lr, decoder_learning_rate=lr,
                           doc_encoder_learning_rate=lr, tau=0.05,
+                          # from-scratch T5 (the reference finetunes a
+                          # pretrained t5-base) — needs LR warmup or the
+                          # first steps wreck the trunk and CE plateaus
+                          warmup_steps=500,
                           log_every_steps=200,
                           eval_batch_size=64, stage2_eval_batch_size=64),
         data=DataConfig(max_intraclass_num=4),
@@ -273,8 +287,9 @@ def quality_phase(tiny: bool) -> dict:
                                    "query_source=encoder checkpoint; "
                                    "expected below quality_recall10")
     out.update(oracle)
-    out["recall10_vs_oracle"] = round(
-        out["quality_recall10"] / max(oracle["oracle_recall10"], 1e-9), 4)
+    out["recall10_vs_oracle"] = (
+        round(out["quality_recall10"] / oracle["oracle_recall10"], 4)
+        if oracle["oracle_recall10"] > 0 else 0.0)
     out["quality_n_docs"] = n_docs
     # the two-stage schedule's live-tower epochs (refreshed store): recall
     # at the stage-2 operating point, from the TrainLoop's own eval
@@ -292,10 +307,11 @@ def quality_phase(tiny: bool) -> dict:
     return out
 
 
-def train_step_phase(tiny: bool) -> dict:
+def train_step_phase(tiny: bool, bf16: bool = True) -> dict:
     """Time the flagship train step (t5-base, batch 32, R-Drop duplication
-    + InfoNCE) — the number round 1 claimed (103 ms) but never recorded
-    in a driver artifact."""
+    + InfoNCE) at the PRODUCT default precision: bf16 compute towers with
+    fp32 params/optimizer (TrainConfig.bf16 — round-2's dead knob, wired in
+    round 3).  ``bf16=False`` re-measures the fp32 step for comparison."""
     import jax
     import jax.numpy as jnp
 
@@ -312,9 +328,11 @@ def train_step_phase(tiny: bool) -> dict:
     else:
         mcfg = ModelConfig().scaled("base")
         bsz, seq_len, iters = 32, 40, 10
-    cfg = GDRConfig(model=mcfg, train=TrainConfig(train_batch_size=bsz),
+    cfg = GDRConfig(model=mcfg,
+                    train=TrainConfig(train_batch_size=bsz, bf16=bf16),
                     data=DataConfig())
-    model = GenerativeRetriever(mcfg)
+    model = GenerativeRetriever(
+        mcfg, dtype=jnp.bfloat16 if bf16 else jnp.float32)
     state, opt = init_train_state(cfg, model, None, jax.random.PRNGKey(0),
                                   total_steps=1000, input_len=seq_len)
     step_fn = make_train_step(model, None, opt, cfg, stage=1)
@@ -353,9 +371,11 @@ def train_step_phase(tiny: bool) -> dict:
         _ = float(m["loss"])    # blocks: loss is a scalar device->host read
         chunks.append((time.perf_counter() - t0) / iters * 1e3)
     ms = float(np.min(chunks))
-    log(f"train step: {ms:.1f} ms (batch {bsz}, R-Drop 2x; "
+    log(f"train step ({'bf16' if bf16 else 'fp32'}): {ms:.1f} ms "
+        f"(batch {bsz}, R-Drop 2x; "
         f"chunks {np.array2string(np.asarray(chunks), precision=1)})")
-    return {"train_step_ms_b32": round(ms, 1)}
+    key = "train_step_ms_b32" if bf16 else "train_step_fp32_ms_b32"
+    return {key: round(ms, 1)}
 
 
 def main() -> None:
@@ -576,7 +596,9 @@ def main() -> None:
         assert np.isfinite(embs).all()
         extra["embed_docs_per_sec"] = round(dps, 0)
 
-    extra.update(train_step_phase(tiny))
+    extra.update(train_step_phase(tiny, bf16=True))
+    if not tiny:
+        extra.update(train_step_phase(tiny, bf16=False))
     extra.update(quality_phase(tiny))
 
     print(json.dumps({
