@@ -84,9 +84,18 @@ def main() -> None:
         jnp.asarray(nodes), jnp.asarray(scores), jnp.asarray(valid),
         jnp.asarray(trie.cluster_of_node), jnp.asarray(alphas), top_r))
 
+    pallas_ms = timeit(lambda: sharded_rerank_packed(
+        mesh, rows, jnp.asarray(starts), jnp.asarray(counts),
+        jnp.asarray(row_to_doc), cap, shard_rows, jnp.asarray(q),
+        jnp.asarray(nodes), jnp.asarray(scores), jnp.asarray(valid),
+        jnp.asarray(trie.cluster_of_node), jnp.asarray(alphas), top_r,
+        use_pallas=True,
+        pallas_interpret=mesh.devices.flat[0].platform == "cpu"), n=3)
+
     print(json.dumps({
         "dist_rerank_gather_ms": round(gather_ms, 2),
         "dist_rerank_packed_ms": round(packed_ms, 2),
+        "dist_rerank_packed_pallas_ms": round(pallas_ms, 2),
         "dist_rerank_n_docs": n_docs,
         "dist_rerank_mesh": "4x2 virtual cpu",
         # virtual-CPU timing validates the collective program, not the

@@ -39,14 +39,20 @@ def main() -> None:
     log(f"devices: {jax.devices()}")
     sel = set(sys.argv[1:]) or {"base", "noadaptor", "nodense", "fwdonly",
                                 "gradnoopt"}
+    # scan_bf16 / scan_fp32: K train steps inside ONE lax.scan dispatch —
+    # the tunnel adds a fixed per-dispatch cost that does not pipeline
+    # across chained calls, so per-call timing has a ~dispatch floor that
+    # masks device-side differences (observed: bf16 and fp32 both "60 ms"
+    # per chained call).  One dispatch amortised over K steps is the honest
+    # device number.
 
     bsz, seq_len, iters = 32, 40, 8
     results = {}
 
-    def build(mcfg, use_dense=True):
+    def build(mcfg, use_dense=True, dtype=jnp.float32):
         cfg = GDRConfig(model=mcfg, train=TrainConfig(train_batch_size=bsz),
                         data=DataConfig())
-        model = GenerativeRetriever(mcfg)
+        model = GenerativeRetriever(mcfg, dtype=dtype)
         state, opt = init_train_state(cfg, model, None, jax.random.PRNGKey(0),
                                       total_steps=1000, input_len=seq_len)
         step = make_train_step(model, None, opt, cfg, stage=1,
@@ -98,6 +104,33 @@ def main() -> None:
                  dataclasses.replace(base_cfg, adaptor_decode=False))
     if "nodense" in sel:
         run_case("nodense", base_cfg, use_dense=False)
+
+    def run_scan_case(name, dtype, k=8):
+        from functools import partial
+        model, state, opt, step, cfg = build(base_cfg, dtype=dtype)
+        batch, store = batch_for(base_cfg)
+        key = jax.random.PRNGKey(2)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def multi(state, batch, store, key):
+            def body(st, i):
+                st, m = step(st, batch, store, jax.random.fold_in(key, i))
+                return st, m["loss"]
+            return jax.lax.scan(body, state, jnp.arange(k))
+
+        state, losses = multi(state, batch, store, key)
+        _ = np.asarray(losses)
+        t0 = time.perf_counter()
+        state, losses = multi(state, batch, store, key)
+        _ = np.asarray(losses)
+        ms = (time.perf_counter() - t0) / k * 1e3
+        log(f"{name}: {ms:.1f} ms/step (device, {k}-step scan per dispatch)")
+        results[name] = round(ms, 1)
+
+    if "scan_bf16" in sel:
+        run_scan_case("scan_bf16", jnp.bfloat16)
+    if "scan_fp32" in sel:
+        run_scan_case("scan_fp32", jnp.float32)
 
     if "fwdonly" in sel or "gradnoopt" in sel:
         import functools

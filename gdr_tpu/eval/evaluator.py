@@ -197,7 +197,9 @@ class Evaluator:
                 self.mesh, store, self._p_starts, self._p_counts,
                 self._p_row_to_doc, self._p_cap, self._p_shard_rows,
                 q_emb, res.nodes, res.scores, res.valid, cluster_of_node,
-                alphas, top_r=cfg.num_return_sequences)
+                alphas, top_r=cfg.num_return_sequences,
+                use_pallas=self.use_pallas,
+                pallas_interpret=self.mesh.devices.flat[0].platform == "cpu")
         elif self.mesh is not None:
             from gdr_tpu.parallel.store import sharded_rerank_from_beams
             rr = sharded_rerank_from_beams(

@@ -131,7 +131,9 @@ def sharded_rerank_packed(mesh: Mesh, packed_rows: Array, starts: Array,
                           shard_rows: int, query_emb: Array, nodes: Array,
                           beam_scores: Array, valid: Array,
                           cluster_of_node: Array, alphas: Array,
-                          top_r: int, squash: str = "tanh") -> "RerankResult":
+                          top_r: int, squash: str = "tanh",
+                          use_pallas: bool = False,
+                          pallas_interpret: bool = False) -> "RerankResult":
     """Distributed re-rank over the cluster-packed store.
 
     Unlike :func:`sharded_rerank` (per-row gather of candidate embeddings —
@@ -140,6 +142,12 @@ def sharded_rerank_packed(mesh: Mesh, packed_rows: Array, starts: Array,
     are ONE contiguous ``[cap, d]`` block inside the owner shard; non-owner
     shards mask the beam out.  Cross-chip traffic stays the tiny per-shard
     top-R merge.
+
+    ``use_pallas`` swaps the per-shard scoring for the single-DMA streaming
+    kernel (ops/pallas/rerank_kernel.packed_scores_pallas) — shard_map bodies
+    run per device, so the same kernel that serves the single-chip path
+    serves each shard; ``pallas_interpret`` runs it in interpreter mode for
+    virtual-CPU meshes.
     """
     fn = jnp.tanh if squash == "tanh" else jax.nn.sigmoid
     axes = tuple(mesh.axis_names)
@@ -167,10 +175,17 @@ def sharded_rerank_packed(mesh: Mesh, packed_rows: Array, starts: Array,
         owned = ok & (start // shard_rows == shard)
         local = jnp.clip(start - shard * shard_rows, 0,
                          shard_rows - cap)                   # [B, K]
-        idx = local[..., None] + jnp.arange(cap)[None, None]  # contiguous
-        emb = store_local[idx.reshape(b, -1)].reshape(b, k, cap, -1)
-        sim = fn(jnp.einsum("bkd,bkcd->bkc", q.astype(jnp.float32),
-                            emb.astype(jnp.float32)))
+        if use_pallas and squash == "tanh":
+            from gdr_tpu.ops.pallas.rerank_kernel import packed_scores_pallas
+            sim = packed_scores_pallas(
+                store_local, local.reshape(-1), q.reshape(b * k, -1), cap,
+                interpret=pallas_interpret).reshape(b, k, cap)
+        else:
+            idx = (local[..., None]
+                   + jnp.arange(cap)[None, None])            # contiguous
+            emb = store_local[idx.reshape(b, -1)].reshape(b, k, cap, -1)
+            sim = fn(jnp.einsum("bkd,bkcd->bkc", q.astype(jnp.float32),
+                                emb.astype(jnp.float32)))
         mask = ((jnp.arange(cap)[None, None] < count[..., None])
                 & owned[..., None])
         fused = (sim[None]

@@ -124,9 +124,14 @@ def test_pack_layout_sharded_invariants(world):
         assert counts[row] == len(docs)
 
 
-def test_sharded_packed_rerank_matches_generic(world):
+import pytest
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_sharded_packed_rerank_matches_generic(world, use_pallas):
     """sharded_rerank_packed (8 virtual devices, contiguous local slices)
-    == single-device generic rerank."""
+    == single-device generic rerank — for both the XLA contiguous-gather
+    scoring and the Pallas streaming kernel (interpret mode on CPU)."""
     from gdr_tpu.config import MeshConfig
     from gdr_tpu.ops.packed_store import pack_layout_sharded, pack_rows
     from gdr_tpu.parallel.mesh import make_mesh
@@ -160,7 +165,8 @@ def test_sharded_packed_rerank_matches_generic(world):
         mesh, rows, jnp.asarray(starts), jnp.asarray(counts),
         jnp.asarray(row_to_doc), cap, shard_rows, jnp.asarray(q),
         jnp.asarray(nodes), jnp.asarray(beam_scores), jnp.asarray(valid),
-        jnp.asarray(trie.cluster_of_node), jnp.asarray(alphas), top_r=6)
+        jnp.asarray(trie.cluster_of_node), jnp.asarray(alphas), top_r=6,
+        use_pallas=use_pallas, pallas_interpret=True)
 
     np.testing.assert_allclose(np.asarray(got.scores),
                                np.asarray(ref.scores), rtol=1e-5, atol=1e-5)
