@@ -182,13 +182,64 @@ class GenerativeRetriever(nn.Module):
         logits = logits + self.logit_mask[None, : logits.shape[1]]
         return logits, hidden
 
+    def decode_candidate_logits(self, enc: Array, enc_mask: Array,
+                                decoder_input_ids: Array,
+                                decoder_attn_mask: Array,
+                                deterministic: bool = True
+                                ) -> tuple[Array, Array]:
+        """Teacher-forced decode restricted to each position's VALID slots.
+
+        Position ``l`` can only emit its ``kary`` digit tokens or EOS (the
+        positional mask −1e9s everything else), so training losses only ever
+        read a [B, L, kary+1] slice of the [B, L, V] logits.  Computing just
+        that slice keeps softmax support — hence CE/KL values and gradients
+        — bit-comparable to the masked full-vocab path while cutting the
+        PAWA delta and head to 1/(V/(kary+1)) ≈ 1/10 of the work at the
+        reference operating point (see ``PawaAdaptor.delta_candidates_all``).
+        Slot layout: [digit 0 … digit kary-1, EOS]; the final model position
+        admits only EOS (ref modeling_t5.py:1296).  Requires the efficient
+        adaptor (or none) — the slow variant keeps the full path.
+
+        Returns (candidate logits [B, L, kary+1] fp32, dec hidden [B, L, d]).
+        """
+        c = self.cfg
+        kary = c.kary
+        assert not (c.adaptor_decode and not c.adaptor_efficient), (
+            "candidate-sliced head requires the efficient PAWA adaptor")
+        x = self.decode_embed(decoder_input_ids)
+        hidden = self.decoder(x, enc, decoder_attn_mask, enc_mask,
+                              deterministic=deterministic)
+        s = hidden * (c.d_model ** -0.5)
+        l = s.shape[1]
+        w = self._head_weight()                              # [d, V]
+        w_dig = jax.lax.slice_in_dim(w, 2, 2 + l * kary, axis=1)
+        cand = jnp.einsum("bld,dlk->blk", s, w_dig.reshape(-1, l, kary),
+                          preferred_element_type=jnp.float32)
+        eos = jnp.einsum("bld,d->bl", s, w[:, 1],
+                         preferred_element_type=jnp.float32)
+        cand = jnp.concatenate([cand, eos[..., None]], axis=-1)
+        if c.adaptor_decode:
+            a = self.pawa(x, deterministic=deterministic)
+            cand = cand + self.pawa.delta_candidates_all(a, s, kary)
+        # final position admits only EOS (mask row L-1, masks.py)
+        last = jnp.arange(l) == c.max_output_length - 1
+        cand = cand.at[:, :, :kary].add(
+            jnp.where(last, -1e9, 0.0)[None, :, None])
+        return cand, hidden
+
     def __call__(self, input_ids: Array, attn_mask: Array,
                  decoder_input_ids: Array, decoder_attn_mask: Array,
-                 deterministic: bool = True) -> dict[str, Array]:
+                 deterministic: bool = True,
+                 sliced_head: bool = False) -> dict[str, Array]:
         enc = self.encode(input_ids, attn_mask, deterministic=deterministic)
-        logits, dec_hidden = self.decode_logits(
-            enc, attn_mask, decoder_input_ids, decoder_attn_mask,
-            deterministic=deterministic)
+        if sliced_head:
+            logits, dec_hidden = self.decode_candidate_logits(
+                enc, attn_mask, decoder_input_ids, decoder_attn_mask,
+                deterministic=deterministic)
+        else:
+            logits, dec_hidden = self.decode_logits(
+                enc, attn_mask, decoder_input_ids, decoder_attn_mask,
+                deterministic=deterministic)
         return {
             "logits": logits,
             "decoder_hidden": dec_hidden,

@@ -306,6 +306,38 @@ class PawaAdaptor(nn.Module):
                                     labels.T.astype(jnp.int32)))
         return out.transpose(1, 0, 2).astype(self.dtype)
 
+    def delta_candidates_all(self, adaptor_out: Array, decoder_out: Array,
+                             kary: int) -> Array:
+        """Teacher-forced candidate deltas for EVERY position at once:
+        the training-path counterpart of :meth:`delta_candidates`.
+
+        The positional codec gives position ``l`` the contiguous digit block
+        ``l·kary+2 …`` of U, so the per-position valid slices stack into one
+        strided view ``U[:, 2:2+L·kary, :] → [d, L, kary·d]`` and the delta
+        for all valid slots is an L-batched [B,d]·[d,kary·d] matmul — the
+        full-vocab ``delta_logits`` pipeline (G = [B·L, V·d], 297 MB live at
+        t5-base, plus its backward twin and layout copies; ~10 ms of the
+        60 ms train step, profile_trace.py) computes a 10× superset whose
+        extra columns the positional mask provably zeroes out of every loss.
+
+        adaptor_out (A), decoder_out (s): [B, L, d].
+        Returns [B, L, kary+1] (digit slots…, EOS)."""
+        d = self.d_model
+        u = self.u.astype(self.dtype)                        # [d, V, d]
+        b, l, _ = adaptor_out.shape
+        u_dig = jax.lax.slice_in_dim(u, 2, 2 + l * kary, axis=1)
+        u_dig = u_dig.reshape(d, l, kary * d)
+        g = jnp.einsum("bli,ilk->blk", adaptor_out, u_dig,
+                       preferred_element_type=self.dtype)
+        g = g.reshape(b, l, kary, d)
+        dig = jnp.einsum("blkd,bld->blk", g, decoder_out,
+                         preferred_element_type=jnp.float32)
+        ae = jnp.einsum("bli,id->bld", adaptor_out, u[:, 1, :],
+                        preferred_element_type=self.dtype)   # EOS block
+        eos = jnp.einsum("bld,bld->bl", ae, decoder_out,
+                         preferred_element_type=jnp.float32)
+        return jnp.concatenate([dig, eos[..., None]], axis=-1)
+
     def delta_candidates(self, adaptor_out: Array, decoder_out: Array,
                          first_token: Array, kary: int) -> Array:
         """Decode fast path: delta for ONLY the step-local candidate tokens.

@@ -69,13 +69,35 @@ def rdrop_kl_loss(logits: Array) -> Array:
     return (kl_pq + kl_qp) / 2.0 / sl
 
 
-def rdrop_l2_loss(logits: Array) -> Array:
+def rdrop_l2_loss(logits: Array, norm_cols: int | None = None) -> Array:
     """R-Drop default/\"L2\" variant (ref modeling_t5.py:1686-1689): mean
-    squared difference between the two realisations' softmax outputs."""
+    squared difference between the two realisations' softmax outputs.
+
+    ``norm_cols``: when the logits are a candidate slice of a wider vocab
+    (decode_candidate_logits), the masked full-vocab columns hold exactly-0
+    softmax on both halves, so the SUM is unchanged — pass the full vocab
+    width to keep the reference's mean normalisation identical."""
     b = logits.shape[0] // 2
     p = jax.nn.softmax(logits[:b].astype(jnp.float32), axis=-1)
     q = jax.nn.softmax(logits[b:].astype(jnp.float32), axis=-1)
-    return jnp.mean((p - q) ** 2)
+    loss = jnp.mean((p - q) ** 2)
+    if norm_cols is not None:
+        loss = loss * (logits.shape[-1] / norm_cols)
+    return loss
+
+
+def local_candidate_labels(labels: Array, kary: int) -> Array:
+    """Positional-codec label tokens → candidate-slot indices.
+
+    Slot layout of decode_candidate_logits: digit d of position l (token
+    ``l·kary+2+d``) → slot d; EOS (token 1) → slot kary.  PAD positions map
+    out of range and must be excluded by the caller's label mask (they are
+    clipped into range only to keep the gather defined)."""
+    l = labels.shape[1]
+    pos = jnp.arange(l, dtype=labels.dtype)
+    local = labels - (pos[None, :] * kary + 2)
+    local = jnp.where(labels == 1, kary, local)
+    return jnp.clip(local, 0, kary)
 
 
 def doc_reweight_loss(logits: Array, labels: Array, label_mask: Array,

@@ -212,3 +212,58 @@ def test_full_pawa_variant():
     np.testing.assert_allclose(np.asarray(cand)[:, :kary],
                                np.asarray(full)[:, 2:2 + kary],
                                rtol=2e-4, atol=2e-4)
+
+
+def test_candidate_sliced_head_matches_full(model_and_params):
+    """decode_candidate_logits == the valid columns of the masked full-vocab
+    path: identical CE / R-Drop KL values, L2 up to the documented
+    normalisation, and identical gradients (incl. PAWA U)."""
+    model, params = model_and_params
+    input_ids, attn, labels, label_mask = _dummy_batch(b=4)
+    kary = CFG.model.kary
+    dec_in = shift_right(labels)
+    local = losses.local_candidate_labels(labels, kary)
+
+    def full_ce(p):
+        out = model.apply(p, input_ids, attn, dec_in, label_mask)
+        return losses.masked_cross_entropy(out["logits"], labels, label_mask)
+
+    def cand_ce(p):
+        out = model.apply(p, input_ids, attn, dec_in, label_mask,
+                          sliced_head=True)
+        return losses.masked_cross_entropy(out["logits"], local, label_mask)
+
+    np.testing.assert_allclose(float(full_ce(params)), float(cand_ce(params)),
+                               rtol=1e-5)
+
+    g_full = jax.grad(full_ce)(params)
+    g_cand = jax.grad(cand_ce)(params)
+    leaves_f = jax.tree_util.tree_leaves_with_path(g_full)
+    g_cand_flat = dict(jax.tree_util.tree_leaves_with_path(g_cand))
+    checked = 0
+    for path, leaf in leaves_f:
+        other = g_cand_flat[path]
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(other),
+                                   rtol=2e-4, atol=2e-6,
+                                   err_msg=str(path))
+        checked += 1
+    assert checked > 10
+
+    # R-Drop variants on a duplicated batch (two dropout realisations)
+    ids2 = jnp.concatenate([input_ids] * 2)
+    attn2 = jnp.concatenate([attn] * 2)
+    dec2 = jnp.concatenate([dec_in] * 2)
+    lm2 = jnp.concatenate([label_mask] * 2)
+    rngs = {"dropout": jax.random.PRNGKey(3)}
+    out_f = model.apply(params, ids2, attn2, dec2, lm2, deterministic=False,
+                        rngs=rngs)
+    out_c = model.apply(params, ids2, attn2, dec2, lm2, deterministic=False,
+                        sliced_head=True, rngs=rngs)
+    np.testing.assert_allclose(float(losses.rdrop_kl_loss(out_f["logits"])),
+                               float(losses.rdrop_kl_loss(out_c["logits"])),
+                               rtol=1e-4)
+    np.testing.assert_allclose(
+        float(losses.rdrop_l2_loss(out_f["logits"])),
+        float(losses.rdrop_l2_loss(
+            out_c["logits"], norm_cols=CFG.model.decode_vocab_size)),
+        rtol=1e-4)
