@@ -375,7 +375,55 @@ def train_step_phase(tiny: bool, bf16: bool = True) -> dict:
         f"(batch {bsz}, R-Drop 2x; "
         f"chunks {np.array2string(np.asarray(chunks), precision=1)})")
     key = "train_step_ms_b32" if bf16 else "train_step_fp32_ms_b32"
-    return {key: round(ms, 1)}
+    out = {key: round(ms, 1)}
+
+    if bf16:
+        # Amortised throughput at the batch the step is actually efficient
+        # at: the b32 step is optimizer/dispatch-bound (~13 ms fixed AdamW +
+        # tunnel cost), so examples/s keeps climbing with batch
+        # (benchmarks/profile_train.py sweep: 547/755/885 ex/s at
+        # b32/64/128).  K steps inside one lax.scan dispatch removes the
+        # tunnel's fixed per-dispatch cost — this is the device number a
+        # production input pipeline would see.
+        from functools import partial
+        bsz2 = 16 if tiny else 128
+        k_steps = 2 if tiny else 8
+        cfg2 = GDRConfig(model=mcfg,
+                         train=TrainConfig(train_batch_size=bsz2, bf16=True),
+                         data=DataConfig())
+        state2, opt2 = init_train_state(cfg2, model, None,
+                                        jax.random.PRNGKey(0),
+                                        total_steps=1000, input_len=seq_len)
+        step2 = make_train_step(model, None, opt2, cfg2, stage=1)
+        rep = bsz2 // bsz
+        batch2 = {k2: jnp.concatenate([v] * rep, axis=0)
+                  for k2, v in batch.items()}
+        batch2["pos_idx"] = jnp.asarray(
+            np.arange(bsz2, dtype=np.int32) % bsz)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def multi(st, b, sto, k):
+            def body(s, i):
+                s, mm = step2(s, b, sto, jax.random.fold_in(k, i))
+                return s, mm["loss"]
+            return jax.lax.scan(body, st, jnp.arange(k_steps))
+
+        t0 = time.perf_counter()
+        state2, losses = multi(state2, batch2, store, key2 := jax.random.PRNGKey(3))
+        _ = np.asarray(losses)
+        log(f"train throughput compile: {time.perf_counter()-t0:.1f}s")
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            state2, losses = multi(state2, batch2, store, key2)
+            _ = np.asarray(losses)
+            step_ms = (time.perf_counter() - t0) / k_steps * 1e3
+            best = step_ms if best is None else min(best, step_ms)
+        eps = bsz2 / best * 1e3
+        log(f"train throughput: {eps:.0f} examples/s "
+            f"(batch {bsz2}, {best:.1f} ms/step, {k_steps}-step scan)")
+        out[f"train_examples_per_sec_b{bsz2}"] = round(eps)
+    return out
 
 
 def main() -> None:

@@ -132,6 +132,67 @@ def main() -> None:
     if "scan_fp32" in sel:
         run_scan_case("scan_fp32", jnp.float32)
 
+    if "sweep" in sel:
+        # batch sweep: the step is optimizer/bandwidth-bound at batch 32
+        # (AdamW on the 178M-param PAWA U alone is ~7 ms, profile_trace.py),
+        # so examples/s keeps climbing with batch until the matmuls dominate
+        from functools import partial
+        for bs in (32, 64, 128):
+
+            def batch_for_bs(mcfg, bs=bs):
+                rng = np.random.default_rng(1)
+                L = mcfg.max_output_length
+                labels = np.zeros((bs, L), np.int32)
+                labels[:, 0] = 2
+                labels[:, 1] = mcfg.kary + 2
+                labels[:, 2] = 1
+                return {
+                    "input_ids": jnp.asarray(
+                        rng.integers(2, mcfg.vocab_size, (bs, seq_len)),
+                        jnp.int32),
+                    "attn_mask": jnp.ones((bs, seq_len), jnp.int32),
+                    "labels": jnp.asarray(labels),
+                    "label_mask": jnp.asarray(
+                        (labels != 0).astype(np.int32)),
+                    "pos_idx": jnp.asarray(np.arange(bs, dtype=np.int32)),
+                    "cand_idx": jnp.asarray(
+                        rng.integers(0, 64, (bs, 5)), jnp.int32),
+                    "cand_mask": jnp.ones((bs, 5), bool),
+                }, jnp.asarray(rng.normal(size=(64, mcfg.encoder_d_model)),
+                               jnp.float32)
+
+            cfg = GDRConfig(model=base_cfg,
+                            train=TrainConfig(train_batch_size=bs),
+                            data=DataConfig())
+            model = GenerativeRetriever(base_cfg, dtype=jnp.bfloat16)
+            state, opt = init_train_state(cfg, model, None,
+                                          jax.random.PRNGKey(0),
+                                          total_steps=1000,
+                                          input_len=seq_len)
+            step = make_train_step(model, None, opt, cfg, stage=1)
+            batch, store = batch_for_bs(base_cfg)
+            key = jax.random.PRNGKey(2)
+            k = 8
+
+            @partial(jax.jit, donate_argnums=(0,))
+            def multi(state, batch, store, key):
+                def body(st, i):
+                    st, m = step(st, batch, store,
+                                 jax.random.fold_in(key, i))
+                    return st, m["loss"]
+                return jax.lax.scan(body, state, jnp.arange(k))
+
+            state, losses_ = multi(state, batch, store, key)
+            _ = np.asarray(losses_)
+            t0 = time.perf_counter()
+            state, losses_ = multi(state, batch, store, key)
+            _ = np.asarray(losses_)
+            ms = (time.perf_counter() - t0) / k * 1e3
+            eps = bs / ms * 1e3
+            log(f"sweep b{bs}: {ms:.1f} ms/step, {eps:.0f} examples/s")
+            results[f"sweep_b{bs}_ms"] = round(ms, 1)
+            results[f"sweep_b{bs}_eps"] = round(eps)
+
     if "fwdonly" in sel or "gradnoopt" in sel:
         import functools
 
