@@ -61,7 +61,7 @@ def summarize(trace_dir: str, top: int = 30) -> dict:
     return out
 
 
-def trace_retrieve(trace_dir: str) -> None:
+def trace_retrieve(trace_dir: str, fused: bool = False) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -97,10 +97,17 @@ def trace_retrieve(trace_dir: str) -> None:
     # depth-cap like the Evaluator (trie depth + 1)
     max_len = min(cfg.max_output_length, int(trie.depth.max()) + 1)
 
+    # U candidate table built OUTSIDE the per-exec jit (as Evaluator does)
+    u_table = jax.jit(model.apply, static_argnums=(1,),
+                      static_argnames=("method",))(
+                          params, max_len, method=model.decode_tables)
+
     @jax.jit
-    def run(params, ids, msk, packed, starts_j, counts_j, r2d, con, alphas):
+    def run(params, ids, msk, u_table, packed, starts_j, counts_j, r2d, con,
+            alphas):
         res, q, enc = B.generate_cids(model, params, ids, msk, children,
-                                      eos, beams, max_len, 0.8)
+                                      eos, beams, max_len, 0.8,
+                                      u_table=u_table, fused=fused)
         rr = rerank_packed(packed, starts_j, counts_j, r2d, cap, q,
                            res.nodes, res.scores, res.valid, con, alphas,
                            top_r=beams, use_pallas=True)
@@ -109,7 +116,7 @@ def trace_retrieve(trace_dir: str) -> None:
     ids = jnp.asarray(rng.integers(2, cfg.vocab_size, (b, seq_len)),
                       jnp.int32)
     msk = jnp.ones((b, seq_len), jnp.int32)
-    args = (packed, starts_j, counts_j, r2d, con, alphas)
+    args = (u_table, packed, starts_j, counts_j, r2d, con, alphas)
     t0 = time.perf_counter()
     out = run(params, ids, msk, *args)
     np.asarray(out[0].ravel()[:1])
@@ -186,6 +193,8 @@ def main() -> None:
         os.system(f"rm -rf {trace_dir}")
         if case == "retrieve":
             trace_retrieve(trace_dir)
+        elif case == "retrieve_fused":
+            trace_retrieve(trace_dir, fused=True)
         elif case == "train":
             trace_train(trace_dir, bf16=True)
         elif case == "train_fp32":

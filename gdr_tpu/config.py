@@ -215,6 +215,9 @@ class EvalConfig:
     temperature: float = 1.0
     sample_top_k: int = 0            # 0 → no top-k filter inside candidates
     sample_seed: int = 0
+    # fused Pallas decoder sublayers for the full-width beam steps
+    # (ops/pallas/decode_kernel.py): same math, activations stay in VMEM
+    fused_decode: bool = False
 
 
 @dataclass(frozen=True)

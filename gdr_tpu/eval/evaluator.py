@@ -112,17 +112,38 @@ class Evaluator:
         # Both jitted entry points are bound per-instance here so a second
         # Evaluator with a different config never reuses a stale closure.
         self._retrieve = jax.jit(self._retrieve_impl)
+        self._ut_key = None
+        self._ut = None
 
-        def _many_impl(params, ids_stack, mask_stack, store, *tables):
+        def _many_impl(params, ids_stack, mask_stack, store, u_table,
+                       *tables):
             idxs = jnp.arange(ids_stack.shape[0], dtype=jnp.int32)
 
             def one(args):
                 ids, msk, bidx = args
                 return self._retrieve_impl(params, ids, msk, bidx, store,
-                                           *tables)
+                                           *tables, u_table=u_table)
             return jax.lax.map(one, (ids_stack, mask_stack, idxs))
 
         self._retrieve_many = jax.jit(_many_impl)
+
+    def _u_table(self, params):
+        """Per-position U candidate slices, built ONCE per parameter set
+        outside the per-batch jit (GenerativeRetriever.decode_tables —
+        in-graph slicing of U costs a full-tensor layout copy every
+        execution).  Cached on parameter identity: eval passes reuse one
+        params pytree across every batch."""
+        c = self.model.cfg
+        if not (c.adaptor_decode and c.adaptor_efficient):
+            return None
+        key = id(params)
+        if self._ut_key != key:
+            self._ut = jax.jit(
+                self.model.apply, static_argnums=(1,),
+                static_argnames=("method",))(
+                    params, self._max_len, method=self.model.decode_tables)
+            self._ut_key = key
+        return self._ut
 
     def _per_beam_decoder_query(self, params, res, enc, attn_mask):
         """Decoder-side query reps the slow way: re-run the generated
@@ -151,7 +172,7 @@ class Evaluator:
 
     def _retrieve_impl(self, params, input_ids, attn_mask, batch_idx, store,
                        children, eos, cluster_of_node, cluster_docs,
-                       cluster_doc_mask, alphas):
+                       cluster_doc_mask, alphas, u_table=None):
         cfg = self.cfg
         want_dec = (cfg.use_query_embed_decoder_avg
                     or cfg.use_query_embed_decoder_special)
@@ -167,12 +188,13 @@ class Evaluator:
                                    batch_idx),
                 temperature=cfg.temperature, top_k=cfg.sample_top_k,
                 length_penalty=cfg.length_penalty,
-                accumulate_hidden=want_dec)
+                accumulate_hidden=want_dec, u_table=u_table)
         else:   # "beam" (the reference's "greedy" mode is also beam search)
             res, q_emb, enc = generate_cids(
                 self.model, params, input_ids, attn_mask, children,
                 eos, cfg.num_beams, self._max_len,
-                cfg.length_penalty, accumulate_hidden=want_dec)
+                cfg.length_penalty, accumulate_hidden=want_dec,
+                u_table=u_table, fused=cfg.fused_decode)
         if want_dec:
             # decoder-side reps pooled inside the beam carry — no B·K
             # teacher-forced re-run (the round-1 eval hot spot)
@@ -229,7 +251,8 @@ class Evaluator:
                               jnp.asarray(batch_idx, jnp.int32), self.store,
                               self._children, self._eos,
                               self._cluster_of_node, self._cluster_docs,
-                              self._cluster_doc_mask, self._alphas)
+                              self._cluster_doc_mask, self._alphas,
+                              self._u_table(params))
 
     def retrieve_many(self, params, input_ids, attn_mask):
         """Multi-batch retrieval in ONE compiled program.
@@ -242,6 +265,7 @@ class Evaluator:
         """
         return self._retrieve_many(params, jnp.asarray(input_ids),
                                    jnp.asarray(attn_mask), self.store,
+                                   self._u_table(params),
                                    self._children, self._eos,
                                    self._cluster_of_node, self._cluster_docs,
                                    self._cluster_doc_mask, self._alphas)

@@ -311,6 +311,16 @@ class GenerativeRetriever(nn.Module):
             cache.update(self.pawa.init_cache(b * num_beams, max_len))
         return cache
 
+    def decode_tables(self, max_len: int) -> Array:
+        """Precomputed per-position U candidate slices (see
+        ``PawaAdaptor.candidate_table``).  Built ONCE per parameter set
+        OUTSIDE the per-batch retrieval jit and threaded into the decode as
+        the beam-invariant ``cross_ucand`` cache entry: computing it (or
+        dynamic-slicing U directly) inside the retrieval graph makes XLA
+        materialise a layout copy of the whole [d, V, d] U every execution
+        (~1.1 ms device at t5-base bf16, profile_trace.py)."""
+        return self.pawa.candidate_table(max_len, self.cfg.kary)
+
     def decode_step(self, token: Array, cache: dict[str, Array],
                     enc_mask: Array, pos: Array,
                     num_beams: int = 1) -> tuple[Array, dict[str, Array]]:
@@ -346,7 +356,8 @@ class GenerativeRetriever(nn.Module):
     def decode_step_candidates(self, token: Array, cache: dict[str, Array],
                                enc_mask: Array, pos: Array,
                                num_beams: int = 1,
-                               return_hidden: bool = False):
+                               return_hidden: bool = False,
+                               fused: bool = False):
         """Decode fast path: logits for ONLY the step's candidate tokens.
 
         With the positional codec, position ``pos`` can emit exactly the
@@ -367,7 +378,7 @@ class GenerativeRetriever(nn.Module):
         kary = c.kary
         x = self.decode_embed(token)[:, None]
         hidden, cache = self.decoder.decode_step(x, cache, enc_mask, pos,
-                                                 num_beams)
+                                                 num_beams, fused=fused)
         s = hidden[:, 0] * (c.d_model ** -0.5)             # [B, d]
         first = pos * kary + 2
         head_rows = self._head_weight().T                  # [V, d]
@@ -383,8 +394,12 @@ class GenerativeRetriever(nn.Module):
                               preferred_element_type=jnp.float32)
             if c.adaptor_decode:
                 a_t, cache = self.pawa.decode_step(x, cache, pos)
-                cand = cand + self.pawa.delta_candidates(a_t[:, 0], s, first,
-                                                         kary)
+                if "cross_ucand" in cache:
+                    cand = cand + self.pawa.delta_candidates_from_table(
+                        a_t[:, 0], s, cache["cross_ucand"], pos, kary)
+                else:
+                    cand = cand + self.pawa.delta_candidates(
+                        a_t[:, 0], s, first, kary)
         # final position admits only EOS (ref modeling_t5.py:1296)
         last = pos >= c.max_output_length - 1
         digit_mask = jnp.where(last, -1e9, 0.0)

@@ -364,3 +364,44 @@ class PawaAdaptor(nn.Module):
         g = g.reshape(b, kary + 1, d)
         return jnp.einsum("bvi,bi->bv", g, decoder_out,
                           preferred_element_type=jnp.float32)
+
+    def candidate_table(self, max_len: int, kary: int) -> Array:
+        """Per-position candidate slices of U, precomputed once per decode.
+
+        ``delta_candidates`` dynamic-slices the (d·V·d — 178M-param at
+        t5-base) U tensor by a traced position every step, which forces XLA
+        to materialise a layout copy of the WHOLE tensor each retrieval exec
+        (~1.1 ms device time for a bf16 t5-base U, profile_trace.py).  The
+        decode only ever needs the ``max_len`` static slices
+        ``U[:, l·kary+2 : l·kary+2+kary, :]`` + the EOS block, so stack them
+        once — static slices fuse straight off the parameter with no full
+        copy — and index the stack by position inside the decode loop.
+
+        Returns [max_len, d, (kary+1)·d] in model dtype.
+        """
+        u = self.u.astype(self.dtype)                        # [d, V, d]
+        d = self.d_model
+        u_eos = u[:, 1:2, :]
+        rows = []
+        for l in range(max_len):
+            first = l * kary + 2
+            u_dig = jax.lax.slice_in_dim(u, first, first + kary, axis=1)
+            rows.append(jnp.concatenate([u_dig, u_eos], axis=1)
+                        .reshape(d, (kary + 1) * d))
+        return jnp.stack(rows)
+
+    def delta_candidates_from_table(self, adaptor_out: Array,
+                                    decoder_out: Array, table: Array,
+                                    pos: Array, kary: int) -> Array:
+        """``delta_candidates`` against a precomputed :meth:`candidate_table`
+        row — identical math (same slice values, same contraction order),
+        none of the per-step dynamic slicing of the full U."""
+        d = self.d_model
+        b = adaptor_out.shape[0]
+        u_cand = jax.lax.dynamic_index_in_dim(table, pos, axis=0,
+                                              keepdims=False)
+        g = jnp.dot(adaptor_out, u_cand,
+                    preferred_element_type=self.dtype)
+        g = g.reshape(b, kary + 1, d)
+        return jnp.einsum("bvi,bi->bv", g, decoder_out,
+                          preferred_element_type=jnp.float32)

@@ -453,15 +453,27 @@ class Decoder(nn.Module):
         return cache
 
     def decode_step(self, x_t: Array, cache: dict[str, Array], enc_mask: Array,
-                    pos: Array, num_beams: int = 1
+                    pos: Array, num_beams: int = 1, fused: bool = False
                     ) -> tuple[Array, dict[str, Array]]:
         """One decode step.  x_t: [B·K, 1, d] embedded token at position pos;
-        enc_mask: [B, S] (per query, un-expanded)."""
+        enc_mask: [B, S] (per query, un-expanded).
+
+        ``fused``: run each sublayer as one fused Pallas kernel
+        (ops/pallas/decode_kernel.py) — same math and rounding points, but
+        activations stay in VMEM, the self-attention runs bf16-in /
+        f32-accumulate without the cache-wide f32 convert XLA emits for its
+        tiny-output einsum, and the carried caches keep a single layout
+        across steps (XLA's lowering layout-flips every cache every step —
+        profile_trace.py round 3)."""
         lmax = cache["tm_self_k_0"].shape[0]
         bias_row = self.rel_bias(1, lmax, q_offset=pos)    # [1, H, 1, Lmax]
         cross_bias_row = self.cross_rel_bias(
             1, cache["cross_k_0"].shape[2], q_offset=pos)  # [1, H, 1, S]
         cache = dict(cache)
+        if fused:
+            return self._decode_step_fused(x_t, cache, enc_mask, pos,
+                                           num_beams, bias_row,
+                                           cross_bias_row)
         for i, blk in enumerate(self.blocks):
             x_t, sk, sv = blk.decode_step(
                 x_t, cache[f"tm_self_k_{i}"], cache[f"tm_self_v_{i}"],
@@ -470,3 +482,39 @@ class Decoder(nn.Module):
             cache[f"tm_self_k_{i}"] = sk
             cache[f"tm_self_v_{i}"] = sv
         return self.final_norm(x_t), cache
+
+    def _decode_step_fused(self, x_t, cache, enc_mask, pos, num_beams,
+                           bias_row, cross_bias_row):
+        from gdr_tpu.ops.pallas.decode_kernel import (cross_attn_sublayer,
+                                                      ffn_sublayer,
+                                                      self_attn_sublayer)
+        interp = jax.default_backend() != "tpu"
+        b, s = enc_mask.shape
+        bias_self = jnp.transpose(bias_row[0, :, 0]).astype(jnp.float32)
+        cross_bias = (jnp.broadcast_to(
+            cross_bias_row[0, :, 0][None], (b, self.num_heads, s))
+            .astype(jnp.float32)
+            + jnp.where(enc_mask[:, None, :].astype(bool), 0.0, NEG_INF))
+        x = x_t[:, 0]
+        for i, blk in enumerate(self.blocks):
+            att = blk.self_attn
+            p = lambda m: m.variables["params"]["kernel"]
+            wqkv = jnp.concatenate([p(att.q), p(att.k), p(att.v)], axis=1)
+            x, sk, sv = self_attn_sublayer(
+                x, pos, blk.ln1.variables["params"]["scale"], wqkv,
+                p(att.o), bias_self,
+                cache[f"tm_self_k_{i}"], cache[f"tm_self_v_{i}"],
+                heads=self.num_heads, d_kv=self.d_kv, interpret=interp)
+            cache[f"tm_self_k_{i}"] = sk
+            cache[f"tm_self_v_{i}"] = sv
+            x = cross_attn_sublayer(
+                x, blk.ln2.variables["params"]["scale"],
+                p(blk.cross_attn.q), p(blk.cross_attn.o),
+                cache[f"cross_k_{i}"], cache[f"cross_v_{i}"], cross_bias,
+                num_beams, heads=self.num_heads, d_kv=self.d_kv,
+                interpret=interp)
+            ffp = blk.ff.variables["params"]
+            x = ffn_sublayer(x, blk.ln3.variables["params"]["scale"],
+                             ffp["wi"]["kernel"], ffp["wo"]["kernel"],
+                             interpret=interp)
+        return self.final_norm(x[:, None]), cache

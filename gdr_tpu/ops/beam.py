@@ -347,7 +347,8 @@ def sample_cids(model, params, input_ids: Array, attn_mask: Array,
                 children: Array, eos_allowed: Array, num_samples: int,
                 max_len: int, rng: Array, temperature: float = 1.0,
                 top_k: int = 0, length_penalty: float = 1.0,
-                accumulate_hidden: bool = False
+                accumulate_hidden: bool = False,
+                u_table: Array | None = None
                 ) -> tuple[BeamResult, Array, Array]:
     """Stochastic CID decoding — the reference's ``gen_method top_k`` /
     ``do_sample`` inference modes (main.py:189-204) as one compiled program.
@@ -371,6 +372,8 @@ def sample_cids(model, params, input_ids: Array, attn_mask: Array,
     query_emb = model.apply(params, enc, method=model.query_embedding)
     cache = model.apply(params, enc, max_len, num_samples,
                         method=model.init_cache)
+    if u_table is not None:
+        cache["cross_ucand"] = u_table     # see generate_cids
 
     def step_fn(cur_tok, cache, pos, width):
         return model.apply(params, cur_tok, cache, attn_mask, pos, width,
@@ -441,7 +444,9 @@ def generate_cids(model, params, input_ids: Array, attn_mask: Array,
                   children: Array, eos_allowed: Array, num_beams: int,
                   max_len: int, length_penalty: float = 1.0,
                   progressive: bool = True,
-                  accumulate_hidden: bool = False
+                  accumulate_hidden: bool = False,
+                  u_table: Array | None = None,
+                  fused: bool = False
                   ) -> tuple[BeamResult, Array, Array]:
     """Encode queries once and run the constrained search with progressive
     beam widening.
@@ -467,10 +472,18 @@ def generate_cids(model, params, input_ids: Array, attn_mask: Array,
     init_beams = 1 if progressive else num_beams
     cache = model.apply(params, enc, max_len, init_beams,
                         method=model.init_cache)
+    if u_table is not None:
+        # precomputed per-position U candidate slices (beam-invariant:
+        # the cross_ prefix exempts it from beam reorders) — see
+        # GenerativeRetriever.decode_tables for why it is built outside
+        cache["cross_ucand"] = u_table
 
     def step_fn(cur_tok, cache, pos, width):
+        # fused Pallas sublayers only at full width — the warmup steps'
+        # small row counts don't amortise a kernel's fixed cost and their
+        # beam grouping varies per step
         return model.apply(params, cur_tok, cache, attn_mask, pos, width,
-                           accumulate_hidden,
+                           accumulate_hidden, fused and width == num_beams,
                            method=model.decode_step_candidates)
 
     result = beam_search(step_fn, cache, batch, num_beams,
