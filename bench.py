@@ -481,9 +481,12 @@ def main() -> None:
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     log(f"params: {n_params/1e6:.1f}M (bf16)")
 
+    # fused Pallas decoder sublayers for the full-width beam steps
+    # (ops/pallas/decode_kernel.py); GDR_BENCH_FUSED=0 reverts to pure XLA
+    fused = (not tiny) and os.environ.get("GDR_BENCH_FUSED", "1") == "1"
     ev_cfg = EvalConfig(num_beams=beams, num_return_sequences=beams,
                         max_output_length=cfg.max_output_length,
-                        length_penalty=0.8)
+                        length_penalty=0.8, fused_decode=fused)
     # cluster-packed store: one contiguous DMA per beam in the re-rank
     # (Pallas kernel) instead of a per-row XLA gather
     evaluator = Evaluator(model, trie, store, ev_cfg,

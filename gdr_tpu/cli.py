@@ -307,7 +307,8 @@ def cmd_eval(args) -> None:
                         max_output_length=mcfg.max_output_length,
                         gen_method=args.gen_method,
                         temperature=args.temperature,
-                        sample_top_k=args.sample_top_k)
+                        sample_top_k=args.sample_top_k,
+                        fused_decode=args.fused_decode)
     evaluator = Evaluator(model, index.trie, index.store, ev_cfg,
                           mesh=_mesh_from_flag(args.mesh),
                           packed=args.packed, use_pallas=args.pallas)
@@ -555,6 +556,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="cluster-packed store (contiguous per-beam slices)")
     pe.add_argument("--pallas", action="store_true",
                     help="Pallas re-rank kernel (TPU)")
+    pe.add_argument("--fused-decode", action="store_true",
+                    help="fused Pallas decoder sublayers for the full-width "
+                         "beam steps (TPU)")
     pe.add_argument("--mesh", default="none",
                     help="device mesh for the sharded-store re-rank: "
                          "'none', 'auto', or 'DP,MP'")

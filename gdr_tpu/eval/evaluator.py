@@ -131,18 +131,25 @@ class Evaluator:
         """Per-position U candidate slices, built ONCE per parameter set
         outside the per-batch jit (GenerativeRetriever.decode_tables —
         in-graph slicing of U costs a full-tensor layout copy every
-        execution).  Cached on parameter identity: eval passes reuse one
-        params pytree across every batch."""
+        execution).  Cached on the identity of a params leaf via a weakref
+        (eval passes reuse one params pytree across every batch) — a bare
+        ``id(params)`` key could alias a new pytree allocated at a freed
+        address and silently serve a stale table."""
         c = self.model.cfg
         if not (c.adaptor_decode and c.adaptor_efficient):
             return None
-        key = id(params)
-        if self._ut_key != key:
+        import weakref
+
+        leaf = jax.tree_util.tree_leaves(params)[0]
+        if self._ut_key is None or self._ut_key() is not leaf:
             self._ut = jax.jit(
                 self.model.apply, static_argnums=(1,),
                 static_argnames=("method",))(
                     params, self._max_len, method=self.model.decode_tables)
-            self._ut_key = key
+            try:
+                self._ut_key = weakref.ref(leaf)
+            except TypeError:      # leaf type without weakref support
+                self._ut_key = None
         return self._ut
 
     def _per_beam_decoder_query(self, params, res, enc, attn_mask):
