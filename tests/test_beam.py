@@ -398,3 +398,50 @@ def test_depth_capped_decode_matches_full_length(toy):
     np.testing.assert_allclose(np.asarray(full_a.hid_last)[v],
                                np.asarray(short_a.hid_last)[v],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_u_table_decode_matches_dynamic_slice(toy):
+    """The precomputed PAWA candidate table (decode_tables → cross_ucand)
+    must reproduce the dynamic-slice path exactly: same slice values, same
+    contraction order (PawaAdaptor.delta_candidates_from_table vs
+    delta_candidates) — so sequences, scores, nodes and query reps are
+    bit-identical with and without the table."""
+    import dataclasses
+    from gdr_tpu.config import tiny_config
+    from gdr_tpu.models.gdr import GenerativeRetriever, init_params
+    from gdr_tpu.ops.beam import generate_cids, sample_cids
+
+    trie, _t, _m = toy
+    cfg = dataclasses.replace(tiny_config(kary=KARY,
+                                          max_output_length=MAX_LEN).model,
+                              dropout_rate=0.0)
+    assert cfg.adaptor_decode and cfg.adaptor_efficient
+    model = GenerativeRetriever(cfg)
+    params = init_params(model, jax.random.PRNGKey(0), input_len=6)
+    ids = jnp.asarray(np.random.default_rng(12).integers(2, 100, (2, 6)),
+                      jnp.int32)
+    mask = jnp.ones_like(ids)
+    ch, eos = jnp.asarray(trie.children), jnp.asarray(trie.eos_allowed)
+    ut = model.apply(params, MAX_LEN, method=model.decode_tables)
+    assert ut.shape[0] == MAX_LEN
+
+    plain, _, _ = generate_cids(model, params, ids, mask, ch, eos,
+                                num_beams=5, max_len=MAX_LEN)
+    tabled, _, _ = generate_cids(model, params, ids, mask, ch, eos,
+                                 num_beams=5, max_len=MAX_LEN, u_table=ut)
+    np.testing.assert_array_equal(np.asarray(plain.sequences),
+                                  np.asarray(tabled.sequences))
+    np.testing.assert_allclose(np.asarray(plain.scores),
+                               np.asarray(tabled.scores), rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(plain.nodes),
+                                  np.asarray(tabled.nodes))
+
+    s_plain, _, _ = sample_cids(model, params, ids, mask, ch, eos,
+                                num_samples=4, max_len=MAX_LEN,
+                                rng=jax.random.PRNGKey(5), temperature=0.7)
+    s_tab, _, _ = sample_cids(model, params, ids, mask, ch, eos,
+                              num_samples=4, max_len=MAX_LEN,
+                              rng=jax.random.PRNGKey(5), temperature=0.7,
+                              u_table=ut)
+    np.testing.assert_array_equal(np.asarray(s_plain.sequences),
+                                  np.asarray(s_tab.sequences))
