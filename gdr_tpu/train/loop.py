@@ -160,9 +160,14 @@ class TrainLoop:
                                self.state.params["doc_encoder"],
                                self.doc_tokens[idx], self.doc_tok_mask[idx],
                                batch_size=min(256, take), mesh=self.mesh)
-            if self._host_store is None:
-                self._host_store = np.array(self.index.store, np.float32,
-                                            copy=True)
+            base = (self.index.store if self._host_store is None
+                    else self._host_store)
+            # copy-on-write, never mutate in place: on CPU backends the
+            # device placement below zero-copy ALIASES the host buffer, so
+            # an in-place slice update on the next refresh would silently
+            # rewrite the store the evaluator (and any in-flight dispatch)
+            # already holds
+            self._host_store = np.array(base, np.float32, copy=True)
             self._host_store[idx] = np.asarray(emb)
             self._refresh_cursor = (self._refresh_cursor + take) % n
         if self.mesh is not None:
