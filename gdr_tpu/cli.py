@@ -140,7 +140,8 @@ def cmd_index(args) -> None:
     params = enc.init(jax.random.PRNGKey(args.seed), ids[:2], mask[:2])
     if args.encoder_ckpt:
         params = _load_msgpack(args.encoder_ckpt, params)
-    cfg = IndexConfig(kary=args.kary, leaf_cap=args.leaf_cap, seed=args.seed)
+    cfg = IndexConfig(kary=args.kary, leaf_cap=args.leaf_cap, seed=args.seed,
+                      embedding_dim=enc.d_model)
     index = build_index(enc, params, ids, mask, cfg,
                         batch_size=args.batch_size)
     save_index(args.out, index)

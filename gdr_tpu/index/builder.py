@@ -100,6 +100,11 @@ def embed_corpus(doc_encoder, params, token_ids: np.ndarray,
 def build_index_from_embeddings(store: np.ndarray,
                                 cfg: IndexConfig) -> Index:
     """k-means the embeddings into CID paths and pack the trie."""
+    if store.ndim != 2 or store.shape[1] != cfg.embedding_dim:
+        raise ValueError(
+            f"store shape {store.shape} does not match "
+            f"IndexConfig.embedding_dim={cfg.embedding_dim} — wrong store "
+            "file, or set embedding_dim to the doc tower's output width")
     paths = hierarchical_kmeans(store, kary=cfg.kary, leaf_cap=cfg.leaf_cap,
                                 iters=cfg.max_iters, seed=cfg.seed,
                                 minibatch_threshold=cfg.minibatch_threshold,
