@@ -114,6 +114,10 @@ class Evaluator:
         self._retrieve = jax.jit(self._retrieve_impl)
         self._ut_key = None
         self._ut = None
+        # one jit wrapper for the U-table build: a fresh jax.jit per call
+        # would re-trace on every parameter refresh (each train epoch)
+        self._ut_fn = jax.jit(self.model.apply, static_argnums=(1,),
+                              static_argnames=("method",))
 
         def _many_impl(params, ids_stack, mask_stack, store, u_table,
                        *tables):
@@ -142,10 +146,8 @@ class Evaluator:
 
         leaf = jax.tree_util.tree_leaves(params)[0]
         if self._ut_key is None or self._ut_key() is not leaf:
-            self._ut = jax.jit(
-                self.model.apply, static_argnums=(1,),
-                static_argnames=("method",))(
-                    params, self._max_len, method=self.model.decode_tables)
+            self._ut = self._ut_fn(params, self._max_len,
+                                   method=self.model.decode_tables)
             try:
                 self._ut_key = weakref.ref(leaf)
             except TypeError:      # leaf type without weakref support
