@@ -197,7 +197,8 @@ class Evaluator:
                                    batch_idx),
                 temperature=cfg.temperature, top_k=cfg.sample_top_k,
                 length_penalty=cfg.length_penalty,
-                accumulate_hidden=want_dec, u_table=u_table)
+                accumulate_hidden=want_dec, u_table=u_table,
+                fused=cfg.fused_decode)
         else:   # "beam" (the reference's "greedy" mode is also beam search)
             res, q_emb, enc = generate_cids(
                 self.model, params, input_ids, attn_mask, children,

@@ -348,7 +348,8 @@ def sample_cids(model, params, input_ids: Array, attn_mask: Array,
                 max_len: int, rng: Array, temperature: float = 1.0,
                 top_k: int = 0, length_penalty: float = 1.0,
                 accumulate_hidden: bool = False,
-                u_table: Array | None = None
+                u_table: Array | None = None,
+                fused: bool = False
                 ) -> tuple[BeamResult, Array, Array]:
     """Stochastic CID decoding — the reference's ``gen_method top_k`` /
     ``do_sample`` inference modes (main.py:189-204) as one compiled program.
@@ -376,8 +377,10 @@ def sample_cids(model, params, input_ids: Array, attn_mask: Array,
         cache["cross_ucand"] = u_table     # see generate_cids
 
     def step_fn(cur_tok, cache, pos, width):
+        # sampling rollouts run at constant width, so (unlike beam search's
+        # progressive warmup) the fused Pallas sublayers apply to EVERY step
         return model.apply(params, cur_tok, cache, attn_mask, pos, width,
-                           accumulate_hidden,
+                           accumulate_hidden, fused,
                            method=model.decode_step_candidates)
 
     bk = batch * num_samples

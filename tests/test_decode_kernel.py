@@ -174,3 +174,41 @@ def test_cross_attn_sublayer_matches_xla(setup):
     want = ref(x_t)
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want[:, 0], np.float32), atol=2e-2)
+
+
+def test_fused_sampling_matches_xla():
+    """sample_cids with fused sublayers draws identical rollouts: sampling
+    runs at constant width, so the fused path covers every step (no
+    progressive-warmup gating) and the same PRNG draws must pick the same
+    tokens."""
+    from gdr_tpu.config import ModelConfig
+    from gdr_tpu.models.gdr import GenerativeRetriever, init_params
+    from gdr_tpu.ops import beam as B
+    from gdr_tpu.ops.trie import build_trie
+
+    cfg = ModelConfig(kary=4, max_output_length=5, d_model=64, d_kv=16,
+                      d_ff=128, num_layers=2, num_decoder_layers=2,
+                      num_heads=4, vocab_size=256, encoder_d_model=64,
+                      adaptor_layer_num=1, adaptor_num_heads=2)
+    model = GenerativeRetriever(cfg, dtype=jnp.bfloat16)
+    params = init_params(model, jax.random.PRNGKey(0), input_len=8)
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        params)
+    rng = np.random.default_rng(1)
+    cid_to_docs = {f"{a}-{bb}": [str(a * 3 + bb)]
+                   for a in range(4) for bb in range(3)}
+    trie = build_trie(cid_to_docs, cfg.kary)
+    children = jnp.asarray(trie.children)
+    eos = jnp.asarray(trie.eos_allowed)
+    ids = jnp.asarray(rng.integers(2, 256, (2, 8)), jnp.int32)
+    msk = jnp.ones((2, 8), jnp.int32)
+    key = jax.random.PRNGKey(7)
+    r0, _, _ = B.sample_cids(model, params, ids, msk, children, eos, 4, 4,
+                             key, temperature=0.8)
+    r1, _, _ = B.sample_cids(model, params, ids, msk, children, eos, 4, 4,
+                             key, temperature=0.8, fused=True)
+    np.testing.assert_array_equal(np.asarray(r0.sequences),
+                                  np.asarray(r1.sequences))
+    np.testing.assert_allclose(np.asarray(r0.scores),
+                               np.asarray(r1.scores), atol=1e-2)
