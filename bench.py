@@ -504,8 +504,22 @@ def main() -> None:
 
     log(f"compiling + warmup (batch {group}x{qbatch}) ...")
     t0 = time.perf_counter()
-    res, rr = evaluator.retrieve_many(params, input_ids, attn)
-    materialize(res, rr)
+    try:
+        res, rr = evaluator.retrieve_many(params, input_ids, attn)
+        materialize(res, rr)
+    except Exception as e:
+        if not fused:
+            raise
+        # a fused-kernel compile/runtime failure must not sink the whole
+        # benchmark — fall back to the pure-XLA decode and keep going
+        log(f"fused decode failed ({type(e).__name__}: {e}); "
+            "falling back to the XLA path")
+        fused = False
+        ev_cfg = dataclasses.replace(ev_cfg, fused_decode=False)
+        evaluator = Evaluator(model, trie, store, ev_cfg,
+                              packed=True, use_pallas=not tiny)
+        res, rr = evaluator.retrieve_many(params, input_ids, attn)
+        materialize(res, rr)
     log(f"first call (compile): {time.perf_counter()-t0:.1f}s")
     res, rr = evaluator.retrieve_many(params, input_ids, attn)
     materialize(res, rr)
@@ -535,7 +549,7 @@ def main() -> None:
 
     # Pallas re-rank vs XLA gather: bit-exactness asserted as part of the
     # recorded benchmark (round-1 claimed it only in docs)
-    extra = {}
+    extra = {"fused_decode": fused}
     if not tiny:
         # ---- single-query p50 latency (BASELINE: <20 ms device-side at
         # beam 100, batch 1 — infer.sh's operating point).  The wall time
