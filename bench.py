@@ -484,9 +484,13 @@ def main() -> None:
     # fused Pallas decoder sublayers for the full-width beam steps
     # (ops/pallas/decode_kernel.py); GDR_BENCH_FUSED=0 reverts to pure XLA
     fused = (not tiny) and os.environ.get("GDR_BENCH_FUSED", "1") == "1"
+    # PAWA adaptor kernels: default OFF until hardware-validated (flip via
+    # GDR_BENCH_FUSED_PAWA=1 after profiling on a real chip)
+    fused_pawa = fused and os.environ.get("GDR_BENCH_FUSED_PAWA", "0") == "1"
     ev_cfg = EvalConfig(num_beams=beams, num_return_sequences=beams,
                         max_output_length=cfg.max_output_length,
-                        length_penalty=0.8, fused_decode=fused)
+                        length_penalty=0.8, fused_decode=fused,
+                        fused_pawa=fused_pawa)
     # cluster-packed store: one contiguous DMA per beam in the re-rank
     # (Pallas kernel) instead of a per-row XLA gather
     evaluator = Evaluator(model, trie, store, ev_cfg,
@@ -514,8 +518,9 @@ def main() -> None:
         # benchmark — fall back to the pure-XLA decode and keep going
         log(f"fused decode failed ({type(e).__name__}: {e}); "
             "falling back to the XLA path")
-        fused = False
-        ev_cfg = dataclasses.replace(ev_cfg, fused_decode=False)
+        fused = fused_pawa = False
+        ev_cfg = dataclasses.replace(ev_cfg, fused_decode=False,
+                                     fused_pawa=False)
         evaluator = Evaluator(model, trie, store, ev_cfg,
                               packed=True, use_pallas=not tiny)
         res, rr = evaluator.retrieve_many(params, input_ids, attn)
@@ -549,7 +554,7 @@ def main() -> None:
 
     # Pallas re-rank vs XLA gather: bit-exactness asserted as part of the
     # recorded benchmark (round-1 claimed it only in docs)
-    extra = {"fused_decode": fused}
+    extra = {"fused_decode": fused, "fused_pawa": fused_pawa}
     if not tiny:
         # ---- single-query p50 latency (BASELINE: <20 ms device-side at
         # beam 100, batch 1 — infer.sh's operating point).  The wall time

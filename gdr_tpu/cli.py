@@ -309,7 +309,8 @@ def cmd_eval(args) -> None:
                         gen_method=args.gen_method,
                         temperature=args.temperature,
                         sample_top_k=args.sample_top_k,
-                        fused_decode=args.fused_decode)
+                        fused_decode=args.fused_decode,
+                        fused_pawa=args.fused_pawa)
     evaluator = Evaluator(model, index.trie, index.store, ev_cfg,
                           mesh=_mesh_from_flag(args.mesh),
                           packed=args.packed, use_pallas=args.pallas)
@@ -560,6 +561,9 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--fused-decode", action="store_true",
                     help="fused Pallas decoder sublayers for the full-width "
                          "beam steps (TPU)")
+    pe.add_argument("--fused-pawa", action="store_true",
+                    help="also fuse the PAWA adaptor decode sublayers "
+                         "(TPU; newer kernels, separate knob)")
     pe.add_argument("--mesh", default="none",
                     help="device mesh for the sharded-store re-rank: "
                          "'none', 'auto', or 'DP,MP'")

@@ -218,6 +218,10 @@ class EvalConfig:
     # fused Pallas decoder sublayers for the full-width beam steps
     # (ops/pallas/decode_kernel.py): same math, activations stay in VMEM
     fused_decode: bool = False
+    # also fuse the PAWA adaptor's decode sublayers (pawa_* kernels);
+    # separate knob so the hardware-validated decoder fusion isn't coupled
+    # to the newer adaptor kernels
+    fused_pawa: bool = False
 
 
 @dataclass(frozen=True)

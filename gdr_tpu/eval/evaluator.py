@@ -198,13 +198,14 @@ class Evaluator:
                 temperature=cfg.temperature, top_k=cfg.sample_top_k,
                 length_penalty=cfg.length_penalty,
                 accumulate_hidden=want_dec, u_table=u_table,
-                fused=cfg.fused_decode)
+                fused=cfg.fused_decode, fused_pawa=cfg.fused_pawa)
         else:   # "beam" (the reference's "greedy" mode is also beam search)
             res, q_emb, enc = generate_cids(
                 self.model, params, input_ids, attn_mask, children,
                 eos, cfg.num_beams, self._max_len,
                 cfg.length_penalty, accumulate_hidden=want_dec,
-                u_table=u_table, fused=cfg.fused_decode)
+                u_table=u_table, fused=cfg.fused_decode,
+                fused_pawa=cfg.fused_pawa)
         if want_dec:
             # decoder-side reps pooled inside the beam carry — no B·K
             # teacher-forced re-run (the round-1 eval hot spot)

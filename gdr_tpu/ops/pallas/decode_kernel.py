@@ -371,3 +371,237 @@ def ffn_sublayer(x: Array, ln_scale: Array, wi: Array, wo: Array,
         ],
         interpret=interpret,
     )(x, ln_scale.reshape(1, d).astype(jnp.float32), wi, wo)
+
+
+# ----------------------------------------------------- PAWA adaptor sublayers
+#
+# The PAWA adaptor (models/pawa.py PawaLayer) is a torch-TransformerDecoder-
+# style POST-norm block: self-attn (no rel bias, no pre-norm) → LayerNorm →
+# (+ constant memory out) → LayerNorm → FFN → LayerNorm.  Its decode steps
+# are the remaining XLA sublayers in the fused beam-decode hot loop; these
+# kernels give them the same treatment as the decoder sublayers above.
+# LayerNorm rounding matches flax.linen.LayerNorm at bf16 exactly: f32
+# fast-variance stats and affine, ONE final cast to the model dtype
+# (verified bit-equal against nn.LayerNorm).
+
+
+def _layer_norm(x: Array, scale_ref, bias_ref, eps: float = 1e-5) -> Array:
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale_ref[:] + bias_ref[:]).astype(x.dtype)
+
+
+def _pawa_attn_kernel(pos_ref, x_ref, mem_ref, ln1s_ref, ln1b_ref,
+                      ln2s_ref, ln2b_ref, wqkv_hbm, wo_hbm, ck_hbm, cv_hbm,
+                      out_ref, ck_out, cv_out,
+                      wqkv_s, wo_s, kall, vall, kloc, vloc, sems,
+                      *, heads: int, d_kv: int, lmax: int, rows: int):
+    c = pl.program_id(0)
+    pos = pos_ref[0]
+    inner = heads * d_kv
+    rows0 = c * rows
+
+    @pl.when(c == 0)
+    def _preload():
+        pltpu.make_async_copy(wqkv_hbm, wqkv_s, sems.at[0]).start()
+        pltpu.make_async_copy(wo_hbm, wo_s, sems.at[1]).start()
+        pltpu.make_async_copy(wqkv_hbm, wqkv_s, sems.at[0]).wait()
+        pltpu.make_async_copy(wo_hbm, wo_s, sems.at[1]).wait()
+
+    rd_k = pltpu.make_async_copy(
+        ck_hbm.at[:, pl.ds(rows0, rows)], kall, sems.at[2])
+    rd_v = pltpu.make_async_copy(
+        cv_hbm.at[:, pl.ds(rows0, rows)], vall, sems.at[3])
+    rd_k.start()
+    rd_v.start()
+
+    # NO pre-norm: the PAWA block attends to the raw input
+    qkv = jnp.dot(x_ref[:], wqkv_s[:], preferred_element_type=jnp.float32)
+    q = qkv[:, :inner].astype(x_ref.dtype)
+    kloc[:] = qkv[:, inner:2 * inner].astype(x_ref.dtype)
+    vloc[:] = qkv[:, 2 * inner:].astype(x_ref.dtype)
+
+    wr_k = pltpu.make_async_copy(
+        kloc, ck_out.at[pos, pl.ds(rows0, rows)], sems.at[4])
+    wr_v = pltpu.make_async_copy(
+        vloc, cv_out.at[pos, pl.ds(rows0, rows)], sems.at[5])
+    wr_k.start()
+    wr_v.start()
+
+    rd_k.wait()
+    rd_v.wait()
+
+    k_local = kloc[:]
+    scores = []
+    for l in range(lmax):
+        use_loc = jnp.int32(l) == pos
+        s_cols = []
+        for h in range(heads):
+            sl = slice(h * d_kv, (h + 1) * d_kv)
+            k_l = jnp.where(use_loc, k_local[:, sl], kall[l, :, sl])
+            qh = q[:, sl].astype(jnp.float32)
+            s = jnp.sum(qh * k_l.astype(jnp.float32), axis=-1,
+                        keepdims=True)
+            s_cols.append(s)
+        s_l = jnp.concatenate(s_cols, axis=1)              # [rows, H]
+        s_l = jnp.where(jnp.int32(l) <= pos, s_l, NEG_INF)
+        scores.append(s_l)
+
+    m = scores[0]
+    for s_l in scores[1:]:
+        m = jnp.maximum(m, s_l)
+    exps = [jnp.exp(s_l - m) for s_l in scores]
+    denom = exps[0]
+    for e in exps[1:]:
+        denom = denom + e
+    probs = [(e / denom).astype(x_ref.dtype).astype(jnp.float32)
+             for e in exps]
+
+    v_local = vloc[:]
+    attn_cols = []
+    for h in range(heads):
+        sl = slice(h * d_kv, (h + 1) * d_kv)
+        acc = jnp.zeros((rows, d_kv), jnp.float32)
+        for l in range(lmax):
+            use_loc = jnp.int32(l) == pos
+            v_l = jnp.where(use_loc, v_local[:, sl], vall[l, :, sl])
+            acc = acc + probs[l][:, h:h + 1] * v_l.astype(jnp.float32)
+        attn_cols.append(acc.astype(x_ref.dtype))
+    attn = jnp.concatenate(attn_cols, axis=1)
+
+    h_out = jnp.dot(attn, wo_s[:], preferred_element_type=jnp.float32)
+    y = x_ref[:] + h_out.astype(x_ref.dtype)               # residual
+    y = _layer_norm(y, ln1s_ref, ln1b_ref)                 # post-norm 1
+    y = y + mem_ref[:].astype(y.dtype)                     # + memory out
+    out_ref[:] = _layer_norm(y, ln2s_ref, ln2b_ref)        # post-norm 2
+
+    wr_k.wait()
+    wr_v.wait()
+
+
+def pawa_attn_sublayer(x: Array, pos: Array, wqkv: Array, wo: Array,
+                       mem_out: Array, ln1_scale: Array, ln1_bias: Array,
+                       ln2_scale: Array, ln2_bias: Array,
+                       ck: Array, cv: Array, *, heads: int, d_kv: int,
+                       block_rows: int = 512, interpret: bool = False
+                       ) -> tuple[Array, Array, Array]:
+    """PAWA self-attn sublayer: attn (no pre-norm, no rel bias) → +residual
+    → LN1 → + ``mem_out`` (the constant single-memory-token cross-attn
+    output, PawaLayer.memory_out) → LN2.
+
+    x: [R, d]; wqkv: [d, 3·inner]; wo: [inner, d]; mem_out: [1, d];
+    ck/cv: [L, R, inner] time-major caches (updated in place)."""
+    r, d = x.shape
+    lmax = ck.shape[0]
+    inner = heads * d_kv
+    fixed = (3 * d * inner + inner * d) * 2
+    per_row = (2 * lmax * inner * 2 + 2 * inner * 2 + 3 * inner * 4
+               + 4 * d * 2)
+    budget = 11 << 20
+    block_rows = min(block_rows, r)
+    while r % block_rows or (block_rows > 8
+                             and fixed + per_row * block_rows > budget):
+        block_rows //= 2
+    n_blocks = r // block_rows
+    kernel = functools.partial(_pawa_attn_kernel, heads=heads, d_kv=d_kv,
+                               lmax=lmax, rows=block_rows)
+    f32 = jnp.float32
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                 # pos
+            pl.BlockSpec((block_rows, d), lambda c: (c, 0)),       # x
+            pl.BlockSpec((1, d), lambda c: (0, 0)),                # mem
+            pl.BlockSpec((1, d), lambda c: (0, 0)),                # ln1 s
+            pl.BlockSpec((1, d), lambda c: (0, 0)),                # ln1 b
+            pl.BlockSpec((1, d), lambda c: (0, 0)),                # ln2 s
+            pl.BlockSpec((1, d), lambda c: (0, 0)),                # ln2 b
+            pl.BlockSpec(memory_space=pl.ANY),                  # wqkv
+            pl.BlockSpec(memory_space=pl.ANY),                  # wo
+            pl.BlockSpec(memory_space=pl.ANY),                  # ck
+            pl.BlockSpec(memory_space=pl.ANY),                  # cv
+        ],
+        out_specs=[
+            pl.BlockSpec((block_rows, d), lambda c: (c, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, d), x.dtype),
+            jax.ShapeDtypeStruct(ck.shape, ck.dtype),
+            jax.ShapeDtypeStruct(cv.shape, cv.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((d, 3 * inner), wqkv.dtype),
+            pltpu.VMEM((inner, d), wo.dtype),
+            pltpu.VMEM((lmax, block_rows, inner), ck.dtype),
+            pltpu.VMEM((lmax, block_rows, inner), cv.dtype),
+            pltpu.VMEM((block_rows, inner), x.dtype),
+            pltpu.VMEM((block_rows, inner), x.dtype),
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+        input_output_aliases={9: 1, 10: 2},
+        interpret=interpret,
+    )(jnp.reshape(pos.astype(jnp.int32), (1,)), x,
+      mem_out.reshape(1, d), ln1_scale.reshape(1, d).astype(f32),
+      ln1_bias.reshape(1, d).astype(f32),
+      ln2_scale.reshape(1, d).astype(f32),
+      ln2_bias.reshape(1, d).astype(f32), wqkv, wo, ck, cv)
+
+
+def _pawa_ffn_kernel(x_ref, ln3s_ref, ln3b_ref, wi_hbm, wo_hbm, out_ref,
+                     wi_s, wo_s, sems):
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _preload():
+        pltpu.make_async_copy(wi_hbm, wi_s, sems.at[0]).start()
+        pltpu.make_async_copy(wo_hbm, wo_s, sems.at[1]).start()
+        pltpu.make_async_copy(wi_hbm, wi_s, sems.at[0]).wait()
+        pltpu.make_async_copy(wo_hbm, wo_s, sems.at[1]).wait()
+
+    h = jnp.dot(x_ref[:], wi_s[:], preferred_element_type=jnp.float32)
+    h = jnp.maximum(h, 0.0).astype(x_ref.dtype)
+    y = jnp.dot(h, wo_s[:], preferred_element_type=jnp.float32)
+    y = x_ref[:] + y.astype(x_ref.dtype)                   # residual
+    out_ref[:] = _layer_norm(y, ln3s_ref, ln3b_ref)        # post-norm
+
+
+def pawa_ffn_sublayer(x: Array, wi: Array, wo: Array, ln3_scale: Array,
+                      ln3_bias: Array, *, block_rows: int = 256,
+                      interpret: bool = False) -> Array:
+    """PAWA FFN sublayer: wi → ReLU → wo → +residual → LN3 (post-norm).
+    x: [R, d]; wi: [d, f]; wo: [f, d]."""
+    r, d = x.shape
+    f = wi.shape[1]
+    fixed = 2 * d * f * 2
+    per_row = f * 4 + f * 2 + 3 * d * 2
+    budget = 11 << 20
+    block_rows = min(block_rows, r)
+    while r % block_rows or (block_rows > 8
+                             and fixed + per_row * block_rows > budget):
+        block_rows //= 2
+    f32 = jnp.float32
+    return pl.pallas_call(
+        _pawa_ffn_kernel,
+        grid=(r // block_rows,),
+        in_specs=[
+            pl.BlockSpec((block_rows, d), lambda c: (c, 0)),
+            pl.BlockSpec((1, d), lambda c: (0, 0)),
+            pl.BlockSpec((1, d), lambda c: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((block_rows, d), lambda c: (c, 0)),
+        out_shape=jax.ShapeDtypeStruct((r, d), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((d, f), wi.dtype),
+            pltpu.VMEM((f, d), wo.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x, ln3_scale.reshape(1, d).astype(f32),
+      ln3_bias.reshape(1, d).astype(f32), wi, wo)
