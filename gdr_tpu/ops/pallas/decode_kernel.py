@@ -315,10 +315,6 @@ def cross_attn_sublayer(x: Array, ln_scale: Array, wcq: Array, wco: Array,
       bias[:, :, None, :].astype(jnp.float32), cross_k, cross_v, wcq, wco)
 
 
-def _cross_kernel_bias_squeeze(bias_ref):      # pragma: no cover - doc only
-    pass
-
-
 # --------------------------------------------------------------------- ffn
 
 def _ffn_kernel(x_ref, ln_ref, wi_hbm, wo_hbm, out_ref, wi_s, wo_s, sems):
