@@ -313,7 +313,8 @@ def cmd_eval(args) -> None:
                         fused_pawa=args.fused_pawa)
     evaluator = Evaluator(model, index.trie, index.store, ev_cfg,
                           mesh=_mesh_from_flag(args.mesh),
-                          packed=args.packed, use_pallas=args.pallas)
+                          packed=args.packed, use_pallas=args.pallas,
+                          quantize=args.int8_store)
     out = evaluator.evaluate(params, dev, batch_size=args.eval_batch_size)
     print(json.dumps(out, indent=2, sort_keys=True))
 
@@ -564,6 +565,9 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--fused-pawa", action="store_true",
                     help="also fuse the PAWA adaptor decode sublayers "
                          "(TPU; newer kernels, separate knob)")
+    pe.add_argument("--int8-store", action="store_true",
+                    help="hold the doc-embedding store as per-row int8 "
+                         "(4x smaller; dequantising dot in the re-rank)")
     pe.add_argument("--mesh", default="none",
                     help="device mesh for the sharded-store re-rank: "
                          "'none', 'auto', or 'DP,MP'")

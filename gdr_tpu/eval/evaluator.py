@@ -47,11 +47,15 @@ class Evaluator:
     """
 
     def __init__(self, model, trie: TrieTensors, store, cfg: EvalConfig,
-                 mesh=None, packed: bool = False, use_pallas: bool = False):
+                 mesh=None, packed: bool = False, use_pallas: bool = False,
+                 quantize: bool = False):
         """``packed``: re-lay the store cluster-contiguously so the re-rank
         reads one dynamic slice per beam instead of a per-row gather
         (ops/packed_store.py).  ``use_pallas``: stream those slices through
-        the Pallas kernel (TPU only)."""
+        the Pallas kernel (TPU only).  ``quantize``: hold the store as
+        per-row-absmax int8 (ops/quantize.py — 4× smaller; the
+        memory-pressure configuration for MS-MARCO-scale corpora) and score
+        with the on-the-fly dequantising dot."""
         self.model = model
         self.trie = trie
         self.cfg = cfg
@@ -84,8 +88,14 @@ class Evaluator:
         elif mesh is not None:
             from gdr_tpu.parallel.store import place_store
             self.store = place_store(np.asarray(store), mesh)
+        elif quantize:
+            from gdr_tpu.ops.quantize import quantize_store
+            self.store = quantize_store(store)
         else:
             self.store = jnp.asarray(store)
+        if quantize and (packed or mesh is not None or use_pallas):
+            raise ValueError("quantize=True supports the plain single-device "
+                             "re-rank only (not packed/mesh/pallas)")
         # every root-to-cluster path ends by the trie's max depth, so the
         # decode needs at most depth+1 steps (digits + EOS) — sizing the
         # KV caches / beam state to that instead of the configured

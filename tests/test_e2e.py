@@ -175,3 +175,30 @@ def test_eval_sampling_decorrelated_across_batches(trained):
                                   np.asarray(rr0.sequences))
     assert not np.array_equal(np.asarray(r0.sequences),
                               np.asarray(r1.sequences))
+
+
+def test_quantized_store_evaluator(trained):
+    """Evaluator(quantize=True) holds the store as per-row int8 and scores
+    with the dequantising dot; on a well-separated synthetic task the
+    retrieved top docs match the fp32 store's."""
+    task, model, state, _ = trained
+    ev_cfg = dataclasses.replace(CFG.eval, num_beams=4,
+                                 num_return_sequences=4,
+                                 score_rates=(0.0, 1.0))
+    ev_fp = Evaluator(model, task.trie, task.store, ev_cfg)
+    ev_q = Evaluator(model, task.trie, task.store, ev_cfg, quantize=True)
+    from gdr_tpu.ops.quantize import QuantizedStore
+    assert isinstance(ev_q.store, QuantizedStore)
+    _, rr_fp = ev_fp.retrieve(state.params["generator"],
+                              task.input_ids[:8], task.attn_mask[:8])
+    _, rr_q = ev_q.retrieve(state.params["generator"],
+                            task.input_ids[:8], task.attn_mask[:8])
+    np.testing.assert_array_equal(np.asarray(rr_fp.doc_valid),
+                                  np.asarray(rr_q.doc_valid))
+    match = (np.asarray(rr_fp.doc_ids) == np.asarray(rr_q.doc_ids))[
+        np.asarray(rr_fp.doc_valid)].mean()
+    assert match > 0.9, match      # int8 noise may swap near-ties only
+    import pytest
+    with pytest.raises(ValueError):
+        Evaluator(model, task.trie, task.store, ev_cfg, quantize=True,
+                  packed=True)
