@@ -76,14 +76,17 @@ def _softmax_rows(s: Array) -> Array:
 
 # --------------------------------------------------------------- self-attn
 
-def _self_attn_kernel(pos_ref, x_ref, ln_ref, bias_ref, wqkv_hbm, wo_hbm,
-                      ck_hbm, cv_hbm, out_ref, ck_out, cv_out,
-                      wqkv_s, wo_s, kall, vall, kloc, vloc, sems,
-                      *, heads: int, d_kv: int, lmax: int, rows: int):
-    c = pl.program_id(0)
-    pos = pos_ref[0]
+def _cached_self_attention(xn, dtype, pos, c, rows0, bias_ref,
+                           wqkv_hbm, wo_hbm, ck_hbm, cv_hbm, ck_out, cv_out,
+                           wqkv_s, wo_s, kall, vall, kloc, vloc, sems,
+                           *, heads: int, d_kv: int, lmax: int, rows: int):
+    """Shared cached causal-attention core of the decoder and PAWA kernels:
+    weight preload (first grid step), fused-QKV matmul on ``xn``, in-place
+    K/V cache row write at ``pos``, attention over positions ≤ pos (the
+    current position's K/V enter from registers, so the stale cache row is
+    never read), output projection.  ``bias_ref``: per-position [L, H] f32
+    rel-bias rows, or None.  Returns h = attn·Wo as f32 [rows, d]."""
     inner = heads * d_kv
-    rows0 = c * rows
 
     @pl.when(c == 0)
     def _preload():
@@ -92,8 +95,7 @@ def _self_attn_kernel(pos_ref, x_ref, ln_ref, bias_ref, wqkv_hbm, wo_hbm,
         pltpu.make_async_copy(wqkv_hbm, wqkv_s, sems.at[0]).wait()
         pltpu.make_async_copy(wo_hbm, wo_s, sems.at[1]).wait()
 
-    # past K/V rows for this block (the row at ``pos`` is stale — the fresh
-    # values enter from kloc/vloc below, so the read/write overlap is safe)
+    # past K/V rows for this block (the row at ``pos`` is stale — masked)
     rd_k = pltpu.make_async_copy(
         ck_hbm.at[:, pl.ds(rows0, rows)], kall, sems.at[2])
     rd_v = pltpu.make_async_copy(
@@ -101,11 +103,10 @@ def _self_attn_kernel(pos_ref, x_ref, ln_ref, bias_ref, wqkv_hbm, wo_hbm,
     rd_k.start()
     rd_v.start()
 
-    xn = _rms(x_ref, ln_ref)
     qkv = jnp.dot(xn, wqkv_s[:], preferred_element_type=jnp.float32)
-    q = qkv[:, :inner].astype(x_ref.dtype)
-    kloc[:] = qkv[:, inner:2 * inner].astype(x_ref.dtype)
-    vloc[:] = qkv[:, 2 * inner:].astype(x_ref.dtype)
+    q = qkv[:, :inner].astype(dtype)
+    kloc[:] = qkv[:, inner:2 * inner].astype(dtype)
+    vloc[:] = qkv[:, 2 * inner:].astype(dtype)
 
     # write the new K/V rows in place at [pos, rows0:rows0+rows]
     wr_k = pltpu.make_async_copy(
@@ -132,7 +133,8 @@ def _self_attn_kernel(pos_ref, x_ref, ln_ref, bias_ref, wqkv_hbm, wo_hbm,
                         keepdims=True)                     # [rows, 1]
             s_cols.append(s)
         s_l = jnp.concatenate(s_cols, axis=1)              # [rows, H]
-        s_l = s_l + bias_ref[l][None, :]
+        if bias_ref is not None:
+            s_l = s_l + bias_ref[l][None, :]
         s_l = jnp.where(jnp.int32(l) <= pos, s_l, NEG_INF)
         scores.append(s_l)
 
@@ -145,8 +147,7 @@ def _self_attn_kernel(pos_ref, x_ref, ln_ref, bias_ref, wqkv_hbm, wo_hbm,
         denom = denom + e
     # probs rounded to the model dtype before the value contraction,
     # matching the XLA path (t5.py:225)
-    probs = [(e / denom).astype(x_ref.dtype).astype(jnp.float32)
-             for e in exps]
+    probs = [(e / denom).astype(dtype).astype(jnp.float32) for e in exps]
 
     v_local = vloc[:]
     attn_cols = []
@@ -157,14 +158,28 @@ def _self_attn_kernel(pos_ref, x_ref, ln_ref, bias_ref, wqkv_hbm, wo_hbm,
             use_loc = jnp.int32(l) == pos
             v_l = jnp.where(use_loc, v_local[:, sl], vall[l, :, sl])
             acc = acc + probs[l][:, h:h + 1] * v_l.astype(jnp.float32)
-        attn_cols.append(acc.astype(x_ref.dtype))
+        attn_cols.append(acc.astype(dtype))
     attn = jnp.concatenate(attn_cols, axis=1)              # [rows, inner]
 
-    y = jnp.dot(attn, wo_s[:], preferred_element_type=jnp.float32)
-    out_ref[:] = x_ref[:] + y.astype(x_ref.dtype)
-
+    h_out = jnp.dot(attn, wo_s[:], preferred_element_type=jnp.float32)
     wr_k.wait()
     wr_v.wait()
+    return h_out
+
+
+def _self_attn_kernel(pos_ref, x_ref, ln_ref, bias_ref, wqkv_hbm, wo_hbm,
+                      ck_hbm, cv_hbm, out_ref, ck_out, cv_out,
+                      wqkv_s, wo_s, kall, vall, kloc, vloc, sems,
+                      *, heads: int, d_kv: int, lmax: int, rows: int):
+    c = pl.program_id(0)
+    pos = pos_ref[0]
+    xn = _rms(x_ref, ln_ref)
+    y = _cached_self_attention(
+        xn, x_ref.dtype, pos, c, c * rows, bias_ref,
+        wqkv_hbm, wo_hbm, ck_hbm, cv_hbm, ck_out, cv_out,
+        wqkv_s, wo_s, kall, vall, kloc, vloc, sems,
+        heads=heads, d_kv=d_kv, lmax=lmax, rows=rows)
+    out_ref[:] = x_ref[:] + y.astype(x_ref.dtype)
 
 
 def self_attn_sublayer(x: Array, pos: Array, ln_scale: Array, wqkv: Array,
@@ -396,85 +411,16 @@ def _pawa_attn_kernel(pos_ref, x_ref, mem_ref, ln1s_ref, ln1b_ref,
                       *, heads: int, d_kv: int, lmax: int, rows: int):
     c = pl.program_id(0)
     pos = pos_ref[0]
-    inner = heads * d_kv
-    rows0 = c * rows
-
-    @pl.when(c == 0)
-    def _preload():
-        pltpu.make_async_copy(wqkv_hbm, wqkv_s, sems.at[0]).start()
-        pltpu.make_async_copy(wo_hbm, wo_s, sems.at[1]).start()
-        pltpu.make_async_copy(wqkv_hbm, wqkv_s, sems.at[0]).wait()
-        pltpu.make_async_copy(wo_hbm, wo_s, sems.at[1]).wait()
-
-    rd_k = pltpu.make_async_copy(
-        ck_hbm.at[:, pl.ds(rows0, rows)], kall, sems.at[2])
-    rd_v = pltpu.make_async_copy(
-        cv_hbm.at[:, pl.ds(rows0, rows)], vall, sems.at[3])
-    rd_k.start()
-    rd_v.start()
-
-    # NO pre-norm: the PAWA block attends to the raw input
-    qkv = jnp.dot(x_ref[:], wqkv_s[:], preferred_element_type=jnp.float32)
-    q = qkv[:, :inner].astype(x_ref.dtype)
-    kloc[:] = qkv[:, inner:2 * inner].astype(x_ref.dtype)
-    vloc[:] = qkv[:, 2 * inner:].astype(x_ref.dtype)
-
-    wr_k = pltpu.make_async_copy(
-        kloc, ck_out.at[pos, pl.ds(rows0, rows)], sems.at[4])
-    wr_v = pltpu.make_async_copy(
-        vloc, cv_out.at[pos, pl.ds(rows0, rows)], sems.at[5])
-    wr_k.start()
-    wr_v.start()
-
-    rd_k.wait()
-    rd_v.wait()
-
-    k_local = kloc[:]
-    scores = []
-    for l in range(lmax):
-        use_loc = jnp.int32(l) == pos
-        s_cols = []
-        for h in range(heads):
-            sl = slice(h * d_kv, (h + 1) * d_kv)
-            k_l = jnp.where(use_loc, k_local[:, sl], kall[l, :, sl])
-            qh = q[:, sl].astype(jnp.float32)
-            s = jnp.sum(qh * k_l.astype(jnp.float32), axis=-1,
-                        keepdims=True)
-            s_cols.append(s)
-        s_l = jnp.concatenate(s_cols, axis=1)              # [rows, H]
-        s_l = jnp.where(jnp.int32(l) <= pos, s_l, NEG_INF)
-        scores.append(s_l)
-
-    m = scores[0]
-    for s_l in scores[1:]:
-        m = jnp.maximum(m, s_l)
-    exps = [jnp.exp(s_l - m) for s_l in scores]
-    denom = exps[0]
-    for e in exps[1:]:
-        denom = denom + e
-    probs = [(e / denom).astype(x_ref.dtype).astype(jnp.float32)
-             for e in exps]
-
-    v_local = vloc[:]
-    attn_cols = []
-    for h in range(heads):
-        sl = slice(h * d_kv, (h + 1) * d_kv)
-        acc = jnp.zeros((rows, d_kv), jnp.float32)
-        for l in range(lmax):
-            use_loc = jnp.int32(l) == pos
-            v_l = jnp.where(use_loc, v_local[:, sl], vall[l, :, sl])
-            acc = acc + probs[l][:, h:h + 1] * v_l.astype(jnp.float32)
-        attn_cols.append(acc.astype(x_ref.dtype))
-    attn = jnp.concatenate(attn_cols, axis=1)
-
-    h_out = jnp.dot(attn, wo_s[:], preferred_element_type=jnp.float32)
+    # NO pre-norm and no rel bias: the PAWA block attends to the raw input
+    h_out = _cached_self_attention(
+        x_ref[:], x_ref.dtype, pos, c, c * rows, None,
+        wqkv_hbm, wo_hbm, ck_hbm, cv_hbm, ck_out, cv_out,
+        wqkv_s, wo_s, kall, vall, kloc, vloc, sems,
+        heads=heads, d_kv=d_kv, lmax=lmax, rows=rows)
     y = x_ref[:] + h_out.astype(x_ref.dtype)               # residual
     y = _layer_norm(y, ln1s_ref, ln1b_ref)                 # post-norm 1
     y = y + mem_ref[:].astype(y.dtype)                     # + memory out
     out_ref[:] = _layer_norm(y, ln2s_ref, ln2b_ref)        # post-norm 2
-
-    wr_k.wait()
-    wr_v.wait()
 
 
 def pawa_attn_sublayer(x: Array, pos: Array, wqkv: Array, wo: Array,
