@@ -256,9 +256,33 @@ def cmd_train(args) -> None:
         print(f"merged {n_qg} qg pseudo-queries "
               f"(train set now {len(train_set)})")
 
+    # stage 2 (live doc tower, ref two-stage switch main_models.py:1910-1917)
+    # becomes reachable when the corpus text is provided: the docs are
+    # tokenized once and the tower re-embeds them at every eval epoch
+    doc_tokens = doc_tok_mask = doc_tower = None
+    if args.corpus and args.train_encoder_epoch < args.epochs:
+        doc_tower = _doc_encoder(args)
+        doc_tower = dataclasses.replace(doc_tower,
+                                        d_model=index.store.shape[1])
+        dtok = load_tokenizer(args.doc_tokenizer,
+                              vocab_size=doc_tower.vocab_size)
+        if dtok.vocab_size != doc_tower.vocab_size:
+            # a trained subword vocab sizes the tower's embedding table
+            doc_tower = dataclasses.replace(doc_tower,
+                                            vocab_size=dtok.vocab_size)
+        _, doc_texts_s2 = _read_corpus_tsv(args.corpus)
+        doc_tokens, doc_tok_mask = dtok.encode_batch(doc_texts_s2,
+                                                     args.encoder_max_len)
+        print(f"stage 2 enabled: live doc tower over {len(doc_texts_s2)} "
+              f"docs from epoch {args.train_encoder_epoch + 1}")
+
     loop = TrainLoop(cfg, index, train_set, dev,
                      workdir=args.workdir, seed=args.seed,
-                     mesh=_mesh_from_flag(args.mesh, args.batch_size))
+                     doc_tokens=doc_tokens, doc_tok_mask=doc_tok_mask,
+                     doc_encoder=doc_tower,
+                     mesh=_mesh_from_flag(args.mesh, args.batch_size),
+                     packed_eval=args.packed_eval,
+                     eval_pallas=args.eval_pallas)
     loop.run()
 
 
@@ -508,7 +532,24 @@ def build_parser() -> argparse.ArgumentParser:
                          "margin-ranking loss (ref --neg_sample_strategy)")
     pt.add_argument("--sample-neg-num", type=int, default=2)
     pt.add_argument("--corpus", default=None,
-                    help="docs TSV (needed for --hard-negatives bm25)")
+                    help="docs TSV, SAME file/order `index` used (enables "
+                         "the stage-2 live doc tower when "
+                         "--train-encoder-epoch < --epochs; also needed "
+                         "for --hard-negatives bm25)")
+    pt.add_argument("--doc-tokenizer", default=None,
+                    help="tokenizer for the stage-2 doc tower (default: "
+                         "hermetic hash tokenizer)")
+    pt.add_argument("--encoder-max-len", type=int, default=128,
+                    help="stage-2 doc token length")
+    pt.add_argument("--encoder-size", default="full",
+                    choices=["full", "tiny"],
+                    help="stage-2 doc tower size")
+    pt.add_argument("--packed-eval", action="store_true",
+                    help="in-training eval reads candidates as contiguous "
+                         "cluster slices (the `eval --packed` fast path)")
+    pt.add_argument("--eval-pallas", action="store_true",
+                    help="with --packed-eval: stream slices through the "
+                         "Pallas re-rank kernel (TPU)")
     pt.add_argument("--mesh", default="auto",
                     help="device mesh: 'auto' (all chips data-parallel), "
                          "'none', or 'DP,MP' (e.g. 4,2)")

@@ -62,12 +62,14 @@ class Evaluator:
         self.mesh = mesh
         self.packed = packed
         self.use_pallas = use_pallas
+        self.quantize = quantize
+        if quantize and (packed or mesh is not None or use_pallas):
+            raise ValueError("quantize=True supports the plain single-device "
+                             "re-rank only (not packed/mesh/pallas)")
         if packed and mesh is not None:
             # distributed packed re-rank: shard-aware layout (whole clusters
             # per shard) + contiguous-slice local scoring + tiny top-R merge
-            from gdr_tpu.ops.packed_store import (pack_layout_sharded,
-                                                  pack_rows)
-            from gdr_tpu.parallel.store import place_packed_store
+            from gdr_tpu.ops.packed_store import pack_layout_sharded
             starts, counts, row_to_doc, cap, shard_rows = \
                 pack_layout_sharded(trie, mesh.devices.size)
             self._p_starts = jnp.asarray(starts)
@@ -75,27 +77,14 @@ class Evaluator:
             self._p_row_to_doc = jnp.asarray(row_to_doc)
             self._p_cap = cap
             self._p_shard_rows = shard_rows
-            self.store = place_packed_store(
-                np.asarray(pack_rows(store, row_to_doc)), mesh)
         elif packed:
-            from gdr_tpu.ops.packed_store import pack_layout, pack_rows
+            from gdr_tpu.ops.packed_store import pack_layout
             starts, counts, row_to_doc, cap = pack_layout(trie)
             self._p_starts = jnp.asarray(starts)
             self._p_counts = jnp.asarray(counts)
             self._p_row_to_doc = jnp.asarray(row_to_doc)
             self._p_cap = cap
-            self.store = pack_rows(store, row_to_doc)      # device gather
-        elif mesh is not None:
-            from gdr_tpu.parallel.store import place_store
-            self.store = place_store(np.asarray(store), mesh)
-        elif quantize:
-            from gdr_tpu.ops.quantize import quantize_store
-            self.store = quantize_store(store)
-        else:
-            self.store = jnp.asarray(store)
-        if quantize and (packed or mesh is not None or use_pallas):
-            raise ValueError("quantize=True supports the plain single-device "
-                             "re-rank only (not packed/mesh/pallas)")
+        self.set_store(store)
         # every root-to-cluster path ends by the trie's max depth, so the
         # decode needs at most depth+1 steps (digits + EOS) — sizing the
         # KV caches / beam state to that instead of the configured
@@ -140,6 +129,29 @@ class Evaluator:
             return jax.lax.map(one, (ids_stack, mask_stack, idxs))
 
         self._retrieve_many = jax.jit(_many_impl)
+
+    def set_store(self, store) -> None:
+        """Replace the doc-embedding store, re-applying this evaluator's
+        layout (cluster packing / mesh sharding / int8 quantization).  The
+        stage-2 training loop calls this after every store refresh — a bare
+        ``evaluator.store = new_store`` would silently hand an UNPACKED
+        array to the packed re-rank."""
+        if self.packed and self.mesh is not None:
+            from gdr_tpu.ops.packed_store import pack_rows
+            from gdr_tpu.parallel.store import place_packed_store
+            self.store = place_packed_store(
+                np.asarray(pack_rows(store, self._p_row_to_doc)), self.mesh)
+        elif self.packed:
+            from gdr_tpu.ops.packed_store import pack_rows
+            self.store = pack_rows(store, self._p_row_to_doc)  # device gather
+        elif self.mesh is not None:
+            from gdr_tpu.parallel.store import place_store
+            self.store = place_store(np.asarray(store), self.mesh)
+        elif self.quantize:
+            from gdr_tpu.ops.quantize import quantize_store
+            self.store = quantize_store(store)
+        else:
+            self.store = jnp.asarray(store)
 
     def _u_table(self, params):
         """Per-position U candidate slices, built ONCE per parameter set

@@ -40,7 +40,8 @@ class TrainLoop:
                  doc_tokens: Optional[np.ndarray] = None,
                  doc_tok_mask: Optional[np.ndarray] = None,
                  doc_encoder: Optional[DocEncoder] = None,
-                 eval_every: int = 1, mesh=None):
+                 eval_every: int = 1, mesh=None,
+                 packed_eval: bool = False, eval_pallas: bool = False):
         """``mesh``: optional ``jax.sharding.Mesh`` (axes ``dp``/``mp``) —
         training then runs SPMD over it: batches sharded over ``dp``,
         parameters replicated (or column-sharded over ``mp`` via
@@ -101,8 +102,14 @@ class TrainLoop:
         else:
             self.store = jnp.asarray(index.store)
         self.lookup = cluster_docs_lookup(index.cid_of_doc)
+        # ``packed_eval``: the in-training evaluator reads candidates as
+        # contiguous cluster slices (ops/packed_store.py) instead of the
+        # per-row gather — the same fast path ``cli eval --packed`` uses;
+        # ``eval_pallas`` additionally streams them through the Pallas
+        # re-rank kernel (TPU)
         self.evaluator = Evaluator(self.model, index.trie, index.store,
-                                   cfg.eval, mesh=mesh)
+                                   cfg.eval, mesh=mesh, packed=packed_eval,
+                                   use_pallas=eval_pallas)
         self._neg_kwargs: dict = {}
         if cfg.data.hard_negative and cfg.data.sample_neg_num > 0:
             from gdr_tpu.data.dataset import doc_label_arrays
@@ -175,7 +182,8 @@ class TrainLoop:
             self.store = place_store(self._host_store, self.mesh)
         else:
             self.store = jnp.asarray(self._host_store)
-        self.evaluator.store = self.store
+        # the evaluator re-applies its own layout (packing/sharding)
+        self.evaluator.set_store(self._host_store)
 
     def _augment_stage2(self, batch: dict) -> dict:
         idx = batch["cand_idx"]

@@ -136,3 +136,33 @@ def test_incremental_store_refresh(tmp_path):
     s2 = np.asarray(loop.store)
     changed2 = ~np.all(np.isclose(s2, s1, atol=1e-7), axis=1)
     assert changed2[n // 2:].all()
+
+
+def test_packed_eval_matches_plain(tmp_path):
+    """TrainLoop(packed_eval=True) evaluates through the cluster-packed
+    re-rank; with a fresh store refresh in between (set_store re-packs),
+    dev metrics match the per-row-gather evaluator's."""
+    import dataclasses as dc
+    from gdr_tpu.models.dual_encoder import tiny_doc_encoder
+
+    cfg, index, ts, dev = _world()
+    cfg = cfg.replace(train=dc.replace(
+        cfg.train, train_encoder_epoch=-1, num_train_epochs=1,
+        stage2_train_batch_size=4))
+    rng = np.random.default_rng(0)
+    doc_tokens = rng.integers(1, 500, size=(len(index.store), 12)).astype(np.int32)
+    doc_mask = np.ones_like(doc_tokens)
+    enc = tiny_doc_encoder(d_model=index.store.shape[1])
+    outs = {}
+    for packed in (False, True):
+        loop = TrainLoop(cfg, index, ts, dev,
+                         workdir=str(tmp_path / f"p{packed}"), seed=0,
+                         doc_tokens=doc_tokens, doc_tok_mask=doc_mask,
+                         doc_encoder=enc, packed_eval=packed)
+        best = loop.run()
+        if packed:
+            # the evaluator's store is the packed layout, not [N, d]
+            assert loop.evaluator.store.shape[0] >= len(index.store)
+        outs[packed] = {k: v for k, v in best.items()
+                        if k.startswith(("cluster_recall", "recall1"))}
+    assert outs[False] == outs[True], (outs[False], outs[True])
