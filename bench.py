@@ -224,7 +224,10 @@ def quality_phase(tiny: bool) -> dict:
     loop = TrainLoop(cfg, index, train_set, dev, workdir=workdir, seed=0,
                      doc_tokens=doc_tok, doc_tok_mask=doc_tok_mask,
                      doc_encoder=doc_tower,
-                     eval_every=max(epochs // 3, 1))
+                     eval_every=max(epochs // 3, 1),
+                     # in-training evals through the packed fast path
+                     # (metrics equivalence: tests/test_loop.py)
+                     packed_eval=True, eval_pallas=not tiny)
     if loop.start_epoch:
         log(f"quality: resumed product checkpoint at epoch "
             f"{loop.start_epoch} ({os.path.basename(workdir)})")

@@ -24,6 +24,24 @@ Array = jax.Array
 NEG_INF = -1.0e9
 
 
+def padded_top_k(scores: Array, payload: Array, k: int
+                 ) -> tuple[Array, Array]:
+    """``lax.top_k`` where ``k`` may exceed the candidate axis.
+
+    The packed layouts bound candidates at beams × (aligned max cluster
+    size), which can be SMALLER than the requested top-R (e.g. beam 10 over
+    8-doc clusters, R=100); the missing slots are padded with NEG_INF
+    scores (→ ``doc_valid`` False) and payload 0, so every caller gets k
+    columns regardless."""
+    n = scores.shape[-1]
+    if n < k:
+        pad = [(0, 0)] * (scores.ndim - 1) + [(0, k - n)]
+        scores = jnp.pad(scores, pad, constant_values=NEG_INF)
+        payload = jnp.pad(payload, pad)
+    top_scores, top_idx = jax.lax.top_k(scores, k)
+    return top_scores, jnp.take_along_axis(payload, top_idx, axis=-1)
+
+
 @struct.dataclass
 class RerankResult:
     doc_ids: Array       # [A, B, R] int32 — top docs per fusion weight
@@ -102,10 +120,8 @@ def rerank(doc_store: Array, query_emb: Array, nodes: Array,
     fused = jnp.where(mask[None], fused, NEG_INF)          # [A, B, K, cap]
 
     flat = fused.reshape(len(alphas), b, k * cap)
-    top_scores, top_idx = jax.lax.top_k(flat, top_r)       # [A, B, R]
-    flat_docs = jnp.broadcast_to(docs.reshape(1, b, k * cap),
-                                 flat.shape)
-    top_docs = jnp.take_along_axis(flat_docs, top_idx, axis=-1)
+    flat_docs = jnp.broadcast_to(docs.reshape(1, b, k * cap), flat.shape)
+    top_scores, top_docs = padded_top_k(flat, flat_docs, top_r)  # [A, B, R]
     doc_valid = top_scores > NEG_INF / 2
     return RerankResult(doc_ids=top_docs.astype(jnp.int32),
                         scores=top_scores, doc_valid=doc_valid,
@@ -160,11 +176,10 @@ def rerank_packed(packed_rows: Array, packed_starts: Array,
     fused = sim[None] + alphas[:, None, None, None] * probs[None, :, :, None]
     fused = jnp.where(mask[None], fused, NEG_INF)
     flat = fused.reshape(len(alphas), b, k * cap)
-    top_scores, top_idx = jax.lax.top_k(flat, top_r)
     flat_rows = (start[..., None] + jnp.arange(cap)[None, None, :]
                  ).reshape(1, b, k * cap)
-    top_rows = jnp.take_along_axis(
-        jnp.broadcast_to(flat_rows, flat.shape), top_idx, axis=-1)
+    top_scores, top_rows = padded_top_k(
+        flat, jnp.broadcast_to(flat_rows, flat.shape), top_r)
     top_docs = row_to_doc[top_rows]                        # original doc ids
     doc_valid = top_scores > NEG_INF / 2
     return RerankResult(doc_ids=top_docs.astype(jnp.int32),

@@ -91,10 +91,10 @@ def sharded_rerank(mesh: Mesh, store: Array, query_emb: Array, docs: Array,
             jnp.broadcast_to(docs.reshape(1, b, k * cap), flat.shape),
             loc_idx, axis=-1)
         # merge: all_gather the per-shard winners (tiny) and re-top-k
+        from gdr_tpu.ops.rerank import padded_top_k
         g_scores = jax.lax.all_gather(loc_scores, axes, axis=2, tiled=True)
         g_docs = jax.lax.all_gather(loc_docs, axes, axis=2, tiled=True)
-        m_scores, m_idx = jax.lax.top_k(g_scores, top_r)
-        m_docs = jnp.take_along_axis(g_docs, m_idx, axis=-1)
+        m_scores, m_docs = padded_top_k(g_scores, g_docs, top_r)
         return m_docs.astype(jnp.int32), m_scores, m_scores > NEG_INF / 2
 
     return impl(store, query_emb, docs, mask, probs, alphas)
@@ -198,10 +198,10 @@ def sharded_rerank_packed(mesh: Mesh, packed_rows: Array, starts: Array,
                   ).reshape(1, b, k * cap)
         loc_rows = jnp.take_along_axis(
             jnp.broadcast_to(g_rows, flat.shape), loc_idx, axis=-1)
+        from gdr_tpu.ops.rerank import padded_top_k
         g_scores = jax.lax.all_gather(loc_scores, axes, axis=2, tiled=True)
         g_rows = jax.lax.all_gather(loc_rows, axes, axis=2, tiled=True)
-        m_scores, m_idx = jax.lax.top_k(g_scores, top_r)
-        m_rows = jnp.take_along_axis(g_rows, m_idx, axis=-1)
+        m_scores, m_rows = padded_top_k(g_scores, g_rows, top_r)
         return m_rows, m_scores
 
     top_rows, top_scores = impl(packed_rows, query_emb, start, count, ok,
