@@ -177,3 +177,18 @@ def test_sample_gen_method_eval_path():
     res, rr = ev.retrieve(params, task.input_ids[:2], task.attn_mask[:2])
     assert np.asarray(res.sequences).shape[1] == 4
     assert np.isfinite(np.asarray(rr.scores)[np.asarray(rr.doc_valid)]).all()
+
+
+def test_padded_top_k_pads_to_k():
+    import jax.numpy as jnp
+    from gdr_tpu.ops.rerank import NEG_INF, padded_top_k
+
+    scores = jnp.asarray([[3.0, 1.0, 2.0]])
+    payload = jnp.asarray([[30, 10, 20]])
+    s, p = padded_top_k(scores, payload, 5)
+    assert s.shape == (1, 5) and p.shape == (1, 5)
+    np.testing.assert_array_equal(np.asarray(p[0, :3]), [30, 20, 10])
+    assert (np.asarray(s[0, 3:]) <= NEG_INF / 2).all()
+    # k <= n: plain top_k
+    s2, p2 = padded_top_k(scores, payload, 2)
+    np.testing.assert_array_equal(np.asarray(p2[0]), [30, 20])
