@@ -1,11 +1,13 @@
-"""Hardware-window preflight: run this FIRST when the TPU tunnel is up.
+"""Answer the round-3 TODO question: is the 14.2 ms `while` trace line the
+early-exit loop's own overhead (→ switch the serving path to the scan tail)
+or inclusive double-counting?
 
-One command that (1) confirms the platform/backend identity the fused
-kernels key on, (2) times the retrieval exec for the three decode paths
-(XLA / fused decoder / fused decoder+PAWA) on the real chip, and (3) prints
-the verdict for flipping GDR_BENCH_FUSED_PAWA.
+Times the fused retrieval exec with the early-exit while_loop vs the plain
+lax.scan tail at the reference operating point.  On a balanced k-means trie
+every path has the same depth, so both forms run the same number of decode
+steps — any wall difference is pure loop machinery.
 
-    python benchmarks/hw_preflight.py
+    python benchmarks/while_vs_scan.py
 """
 
 from __future__ import annotations
@@ -32,11 +34,6 @@ def main() -> None:
                                    ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    log(f"devices: {jax.devices()}")
-    log(f"default_backend: {jax.default_backend()!r} "
-        f"(fused kernels compile iff this == 'tpu'; device platform: "
-        f"{jax.devices()[0].platform!r})")
-
     from bench import build_nq_scale_trie
     from gdr_tpu.config import ModelConfig
     from gdr_tpu.models.gdr import GenerativeRetriever, init_params
@@ -61,55 +58,34 @@ def main() -> None:
     ids = jnp.asarray(rng.integers(2, cfg.vocab_size, (b, 40)), jnp.int32)
     msk = jnp.ones((b, 40), jnp.int32)
 
-    def run_case(name, fused, fused_pawa):
+    def run_case(name, early_exit, fused=True):
         @jax.jit
         def f(params, ids, msk, ut):
             res, q, enc = B.generate_cids(model, params, ids, msk, children,
                                           eos, beams, max_len, 0.8,
                                           u_table=ut, fused=fused,
-                                          fused_pawa=fused_pawa)
+                                          early_exit=early_exit)
             return res.sequences, res.scores
         t0 = time.perf_counter()
-        try:
-            seqs, scores = f(params, ids, msk, u_table)
-            np.asarray(scores)
-        except Exception as e:
-            log(f"{name}: FAILED ({type(e).__name__}: {e})")
-            return None, None
+        seqs, scores = f(params, ids, msk, u_table)
+        np.asarray(scores)
         log(f"{name}: compile+first {time.perf_counter() - t0:.1f}s")
         best = None
-        for _ in range(6):
+        for _ in range(8):
             t0 = time.perf_counter()
             seqs, scores = f(params, ids, msk, u_table)
             np.asarray(scores)
             dt = (time.perf_counter() - t0) * 1e3
             best = dt if best is None else min(best, dt)
         log(f"{name}: steady {best:.1f} ms/exec ({b} queries, beam {beams})")
-        return best, np.asarray(seqs)
+        return best, np.asarray(seqs), np.asarray(scores)
 
-    t_xla, s_xla = run_case("xla", False, False)
-    t_f, s_f = run_case("fused", True, False)
-    t_fp, s_fp = run_case("fused+pawa", True, True)
-
-    def parity(name, s_other):
-        # On untrained weights, beams are near-ties and bf16 accumulation-
-        # order differences reshuffle them (decode_kernel.py docstring);
-        # top-1 agreement + small sorted-score delta is the healthy signal,
-        # exact sequence equality is not expected at bf16.  Use
-        # benchmarks/fused_parity_diag.py for the detailed breakdown.
-        eq = np.all(s_xla == s_other, axis=-1)
-        log(f"{name} vs xla: top-1 agreement {eq[:, 0].mean():.3f}, "
-            f"whole-beam {eq.mean():.3f} "
-            f"(bf16 tie reshuffle expected on untrained weights)")
-
-    if s_f is not None and s_xla is not None:
-        parity("fused", s_f)
-    if s_fp is not None and s_xla is not None:
-        parity("fused+pawa", s_fp)
-    if t_fp is not None and t_f is not None:
-        verdict = ("FLIP GDR_BENCH_FUSED_PAWA=1 (and the bench default)"
-                   if t_fp < t_f else "keep fused_pawa off")
-        log(f"verdict: {verdict} (fused {t_f:.1f} ms vs +pawa {t_fp:.1f} ms)")
+    t_w, s_w, sc_w = run_case("while (early_exit=True)", True)
+    t_s, s_s, sc_s = run_case("scan  (early_exit=False)", False)
+    log(f"sequences identical: {np.array_equal(s_w, s_s)}, "
+        f"scores max|Δ|: {np.abs(sc_w - sc_s).max():.2e}")
+    log(f"delta: {t_w - t_s:+.1f} ms "
+        f"({'scan wins — flip the serving default' if t_s < t_w - 0.5 else 'while fine'})")
 
 
 if __name__ == "__main__":

@@ -451,7 +451,8 @@ def generate_cids(model, params, input_ids: Array, attn_mask: Array,
                   accumulate_hidden: bool = False,
                   u_table: Array | None = None,
                   fused: bool = False,
-                  fused_pawa: bool = False
+                  fused_pawa: bool = False,
+                  early_exit: bool = True
                   ) -> tuple[BeamResult, Array, Array]:
     """Encode queries once and run the constrained search with progressive
     beam widening.
@@ -495,7 +496,8 @@ def generate_cids(model, params, input_ids: Array, attn_mask: Array,
 
     result = beam_search(step_fn, cache, batch, num_beams,
                          model.cfg.kary, max_len, children, eos_allowed,
-                         length_penalty, candidates_mode=True,
+                         length_penalty, early_exit=early_exit,
+                         candidates_mode=True,
                          progressive=progressive,
                          accumulate_hidden=(model.cfg.d_model
                                             if accumulate_hidden else 0))
