@@ -445,3 +445,34 @@ def test_u_table_decode_matches_dynamic_slice(toy):
                               u_table=ut)
     np.testing.assert_array_equal(np.asarray(s_plain.sequences),
                                   np.asarray(s_tab.sequences))
+
+
+def test_generate_cids_early_exit_passthrough(toy):
+    """generate_cids(early_exit=False) — the scan tail used when a caller
+    wants differentiability or the faster compile — must reproduce the
+    early-exit while_loop exactly (balanced tries run the same step count)."""
+    import dataclasses
+    from gdr_tpu.config import tiny_config
+    from gdr_tpu.models.gdr import GenerativeRetriever, init_params
+    from gdr_tpu.ops.beam import generate_cids
+
+    trie, _t, _m = toy
+    cfg = dataclasses.replace(tiny_config(kary=KARY,
+                                          max_output_length=MAX_LEN).model,
+                              dropout_rate=0.0)
+    model = GenerativeRetriever(cfg)
+    params = init_params(model, jax.random.PRNGKey(0), input_len=6)
+    ids = jnp.asarray(np.random.default_rng(9).integers(2, 100, (2, 6)),
+                      jnp.int32)
+    mask = jnp.ones_like(ids)
+    ch, eos = jnp.asarray(trie.children), jnp.asarray(trie.eos_allowed)
+
+    w, _, _ = generate_cids(model, params, ids, mask, ch, eos,
+                            num_beams=5, max_len=MAX_LEN, early_exit=True)
+    s, _, _ = generate_cids(model, params, ids, mask, ch, eos,
+                            num_beams=5, max_len=MAX_LEN, early_exit=False)
+    np.testing.assert_array_equal(np.asarray(w.sequences),
+                                  np.asarray(s.sequences))
+    np.testing.assert_allclose(np.asarray(w.scores), np.asarray(s.scores),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(w.valid), np.asarray(s.valid))
