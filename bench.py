@@ -429,6 +429,32 @@ def train_step_phase(tiny: bool, bf16: bool = True) -> dict:
     return out
 
 
+_PHASES = {
+    "trainstep_bf16": lambda: train_step_phase(False, bf16=True),
+    "trainstep_fp32": lambda: train_step_phase(False, bf16=False),
+    "quality": lambda: quality_phase(False),
+}
+
+
+def _phase_subprocess(phase: str, timeout: int = 5400) -> dict:
+    """Run one heavy phase as ``python bench.py --phase <name>`` and parse
+    the JSON line it prints.  Failure → logged, empty dict."""
+    import subprocess
+    log(f"--- phase {phase} (subprocess) ---")
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--phase", phase],
+            capture_output=True, text=True, timeout=timeout)
+        sys.stderr.write(proc.stderr[-4000:])
+        if proc.returncode != 0:
+            log(f"phase {phase} FAILED (exit {proc.returncode})")
+            return {f"{phase}_failed": True}
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+    except Exception as e:
+        log(f"phase {phase} FAILED ({type(e).__name__}: {e})")
+        return {f"{phase}_failed": True}
+
+
 def main() -> None:
     tiny = os.environ.get("GDR_BENCH_TINY") == "1"
     import jax
@@ -565,12 +591,27 @@ def main() -> None:
         # ms host↔device round trip; it is measured with a trivial jitted
         # program on the same path and subtracted (N-dispatch subtraction).
         ids1, attn1 = input_ids[0][:1], attn[0][:1]
-        r1, rr1 = evaluator.retrieve(params, ids1, attn1)
-        materialize(r1, rr1)                      # compile batch-1 program
+        ev1 = evaluator
+        try:
+            r1, rr1 = ev1.retrieve(params, ids1, attn1)
+            materialize(r1, rr1)                  # compile batch-1 program
+        except Exception as e:
+            # batch-1 compiles a different program than the throughput
+            # mega-batch; a fused-kernel failure here must not sink the
+            # benchmark — fall back to the XLA decode for this phase only
+            log(f"batch-1 fused decode failed ({type(e).__name__}: {e}); "
+                "measuring latency on the XLA path")
+            ev1 = Evaluator(model, trie, store,
+                            dataclasses.replace(ev_cfg, fused_decode=False,
+                                                fused_pawa=False),
+                            packed=True, use_pallas=not tiny)
+            r1, rr1 = ev1.retrieve(params, ids1, attn1)
+            materialize(r1, rr1)
+            extra["latency_fused_decode"] = False
         lats = []
         for _ in range(30):
             t0 = time.perf_counter()
-            r1, rr1 = evaluator.retrieve(params, ids1, attn1)
+            r1, rr1 = ev1.retrieve(params, ids1, attn1)
             np.asarray(rr1.doc_ids)
             lats.append((time.perf_counter() - t0) * 1e3)
         trivial = jax.jit(lambda x: x + 1)
@@ -669,10 +710,19 @@ def main() -> None:
         assert np.isfinite(embs).all()
         extra["embed_docs_per_sec"] = round(dps, 0)
 
-    extra.update(train_step_phase(tiny, bf16=True))
-    if not tiny:
-        extra.update(train_step_phase(tiny, bf16=False))
-    extra.update(quality_phase(tiny))
+    # The heavy phases each build full train states (fp32 params + AdamW
+    # moments of the 376M-param flagship ≈ 4.5 GB; the amortised-throughput
+    # section holds two at once).  Run each in its OWN subprocess so HBM is
+    # reclaimed between phases and one phase's failure degrades to a missing
+    # field instead of sinking the benchmark (measured: in-process bf16 +
+    # fp32 + quality back-to-back RESOURCE_EXHAUSTEDs a v5e with the serving
+    # store still resident).  Tiny mode stays in-process (CPU smoke).
+    if tiny:
+        extra.update(train_step_phase(tiny, bf16=True))
+        extra.update(quality_phase(tiny))
+    else:
+        for phase in ("trainstep_bf16", "trainstep_fp32", "quality"):
+            extra.update(_phase_subprocess(phase))
 
     print(json.dumps({
         "metric": "queries_per_sec_beam100_1chip",
@@ -684,6 +734,14 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) >= 3 and sys.argv[1] == "--phase":
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        print(json.dumps(_PHASES[sys.argv[2]]()))
+        sys.exit(0)
     try:
         main()
     except Exception as e:  # transient tunnel failures (FailedPrecondition)

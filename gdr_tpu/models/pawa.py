@@ -250,6 +250,13 @@ class PawaAdaptor(nn.Module):
         memory = self.memory.astype(self.dtype)          # [1, 1, d]
         cache = dict(cache)
         if fused:
+            from gdr_tpu.ops.pallas.decode_kernel import fused_step_supported
+            fused = fused_step_supported(
+                embed_t.shape[0], d=self.d_model,
+                d_ff=self.d_ff or min(4 * self.d_model, 2048),
+                heads=self.num_heads, d_kv=self.d_model // self.num_heads,
+                lmax=cache["tm_pawa_k_0"].shape[0])
+        if fused:
             return self._decode_step_fused(embed_t, cache, pos, memory)
         x = embed_t
         for i, layer in enumerate(self.layers):

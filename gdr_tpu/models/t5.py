@@ -471,6 +471,11 @@ class Decoder(nn.Module):
             1, cache["cross_k_0"].shape[2], q_offset=pos)  # [1, H, 1, S]
         cache = dict(cache)
         if fused:
+            from gdr_tpu.ops.pallas.decode_kernel import fused_step_supported
+            fused = fused_step_supported(
+                x_t.shape[0], d=self.d_model, d_ff=self.d_ff,
+                heads=self.num_heads, d_kv=self.d_kv, lmax=lmax)
+        if fused:
             return self._decode_step_fused(x_t, cache, enc_mask, pos,
                                            num_beams, bias_row,
                                            cross_bias_row)

@@ -57,6 +57,51 @@ Array = jax.Array
 NEG_INF = -1.0e9
 
 
+def _pick_block_rows(r: int, start: int, fixed: int, per_row: int,
+                     budget: int = 11 << 20) -> int:
+    """Pick a row-block size the Mosaic lowering accepts.  Row counts must
+    be divisible by 8: a full-array block of e.g. 100 rows satisfies the
+    BlockSpec "equal to dims" rule but the kernels' [lmax, rows, inner] VMEM
+    scratch then fails deeper in Mosaic ((8,128)-tiling an x100x row dim —
+    measured on v5e at batch 1 × beam 100).  Returns the largest 8-divisible
+    divisor of ``r`` (≤ start) whose VMEM estimate (``fixed`` weights +
+    ``per_row``·rows) fits the soft ``budget``; when none fits the budget,
+    the smallest one.  Raises when ``r`` has no 8-divisible divisor — the
+    trace-time :func:`fused_step_supported` turns that into an unfused
+    fallback before any kernel is built."""
+    legal = [b for b in range(8, min(start, r) + 1, 8) if r % b == 0]
+    fits = [b for b in legal if fixed + per_row * b <= budget]
+    if fits:
+        return max(fits)
+    if legal:
+        return min(legal)             # over soft budget; smallest footprint
+    raise ValueError(
+        f"fused decode kernel: {r} rows have no 8-divisible block "
+        f"(Mosaic requires sublane-tileable row counts). Use a batch×beam "
+        f"row count divisible by 8, or disable fused_decode.")
+
+
+def fused_step_supported(rows: int, *, d: int, d_ff: int, heads: int,
+                         d_kv: int, lmax: int) -> bool:
+    """Trace-time check that every sublayer kernel of a decode step can pick
+    a lowerable block for this (static) row count.  Callers use it to fall
+    back to the unfused XLA step instead of failing at compile time (e.g.
+    batch 3 × beam 100 = 300 rows: no 8-divisible divisor and the full-array
+    FFN block exceeds scoped VMEM)."""
+    inner = heads * d_kv
+    attn_fixed = (3 * d * inner + inner * d) * 2
+    attn_per = (2 * lmax * inner * 2 + 2 * inner * 2 + 3 * inner * 4
+                + 4 * d * 2)
+    ffn_fixed = 2 * d * d_ff * 2
+    ffn_per = d_ff * 4 + d_ff * 2 + 3 * d * 2
+    try:
+        _pick_block_rows(rows, 512, attn_fixed, attn_per)
+        _pick_block_rows(rows, 256, ffn_fixed, ffn_per)
+    except ValueError:
+        return False
+    return True
+
+
 def _rms(x_ref, scale_ref, eps: float = 1e-6) -> Array:
     """T5 RMSNorm, bit-matching models/t5.py::RMSNorm: f32 mean-square,
     x·rsqrt in f32, ×scale, round to bf16."""
@@ -201,11 +246,7 @@ def self_attn_sublayer(x: Array, pos: Array, ln_scale: Array, wqkv: Array,
     fixed = (3 * d * inner + inner * d) * 2
     per_row = (2 * lmax * inner * 2 + 2 * inner * 2 + 3 * inner * 4
                + 4 * d * 2)
-    budget = 11 << 20
-    block_rows = min(block_rows, r)
-    while r % block_rows or (block_rows > 8
-                             and fixed + per_row * block_rows > budget):
-        block_rows //= 2
+    block_rows = _pick_block_rows(r, block_rows, fixed, per_row)
     n_blocks = r // block_rows
     kernel = functools.partial(_self_attn_kernel, heads=heads, d_kv=d_kv,
                                lmax=lmax, rows=block_rows)
@@ -297,9 +338,12 @@ def cross_attn_sublayer(x: Array, ln_scale: Array, wcq: Array, wco: Array,
     r, d = x.shape
     b, h_, s_, dk = cross_k.shape
     assert r == b * num_beams
-    q_per = 1
+    # q_per must give a lowerable row block: q_per·K divisible by 8, or the
+    # whole batch in one block (block == full array is legal regardless of
+    # divisibility — the batch-1 × beam-100 latency operating point)
+    q_per = b
     for cand in range(min(b, max(1, 256 // num_beams)), 0, -1):
-        if b % cand == 0:
+        if b % cand == 0 and (cand * num_beams) % 8 == 0:
             q_per = cand
             break
     block_rows = q_per * num_beams
@@ -359,11 +403,7 @@ def ffn_sublayer(x: Array, ln_scale: Array, wi: Array, wo: Array,
     # block-invariant; per row the f32 hidden + its bf16 cast dominate
     fixed = 2 * d * f * 2
     per_row = f * 4 + f * 2 + 3 * d * 2
-    budget = 11 << 20
-    block_rows = min(block_rows, r)
-    while r % block_rows or (block_rows > 8
-                             and fixed + per_row * block_rows > budget):
-        block_rows //= 2
+    block_rows = _pick_block_rows(r, block_rows, fixed, per_row)
     return pl.pallas_call(
         _ffn_kernel,
         grid=(r // block_rows,),
@@ -441,11 +481,7 @@ def pawa_attn_sublayer(x: Array, pos: Array, wqkv: Array, wo: Array,
     fixed = (3 * d * inner + inner * d) * 2
     per_row = (2 * lmax * inner * 2 + 2 * inner * 2 + 3 * inner * 4
                + 4 * d * 2)
-    budget = 11 << 20
-    block_rows = min(block_rows, r)
-    while r % block_rows or (block_rows > 8
-                             and fixed + per_row * block_rows > budget):
-        block_rows //= 2
+    block_rows = _pick_block_rows(r, block_rows, fixed, per_row)
     n_blocks = r // block_rows
     kernel = functools.partial(_pawa_attn_kernel, heads=heads, d_kv=d_kv,
                                lmax=lmax, rows=block_rows)
@@ -521,11 +557,7 @@ def pawa_ffn_sublayer(x: Array, wi: Array, wo: Array, ln3_scale: Array,
     f = wi.shape[1]
     fixed = 2 * d * f * 2
     per_row = f * 4 + f * 2 + 3 * d * 2
-    budget = 11 << 20
-    block_rows = min(block_rows, r)
-    while r % block_rows or (block_rows > 8
-                             and fixed + per_row * block_rows > budget):
-        block_rows //= 2
+    block_rows = _pick_block_rows(r, block_rows, fixed, per_row)
     f32 = jnp.float32
     return pl.pallas_call(
         _pawa_ffn_kernel,

@@ -306,3 +306,53 @@ def test_fused_pawa_beam_search_matches_xla():
                                   np.asarray(r1.sequences))
     np.testing.assert_allclose(np.asarray(r0.scores),
                                np.asarray(r1.scores), atol=1e-2)
+
+
+def test_pick_block_rows_always_legal():
+    """Every returned block must be lowerable: divisible by 8 or the full
+    array; and it must divide the row count (regression: batch-1 × beam-100
+    = 100 rows produced block 50, which Mosaic rejects — bench latency
+    phase died)."""
+    from gdr_tpu.ops.pallas.decode_kernel import _pick_block_rows
+
+    ffn_fixed, ffn_per = 2 * 768 * 3072 * 2, 3072 * 6 + 3 * 768 * 2
+    attn_fixed = (3 * 768 * 768 + 768 * 768) * 2
+    attn_per = 2 * 4 * 768 * 2 + 2 * 768 * 2 + 3 * 768 * 4 + 4 * 768 * 2
+    for r in (8, 200, 320, 800, 3200, 6400, 24, 1000):
+        for start, fixed, per in ((256, ffn_fixed, ffn_per),
+                                  (512, attn_fixed, attn_per)):
+            b = _pick_block_rows(r, start, fixed, per)
+            assert r % b == 0, (r, b)
+            assert b % 8 == 0, (r, b)
+
+    # rows with no 8-divisible divisor can't lower (batch-1 × beam-100 =
+    # 100 rows: the full-array BlockSpec is legal but the [lmax, rows,
+    # inner] VMEM scratch fails Mosaic tiling — measured on v5e)
+    import pytest
+    for r in (100, 300, 50):
+        with pytest.raises(ValueError, match="fused decode"):
+            _pick_block_rows(r, 256, ffn_fixed, ffn_per)
+
+    # ... which the trace-time predicate turns into an unfused fallback
+    from gdr_tpu.ops.pallas.decode_kernel import fused_step_supported
+    kw = dict(d=768, d_ff=3072, heads=12, d_kv=64, lmax=4)
+    assert not fused_step_supported(100, **kw)
+    assert not fused_step_supported(300, **kw)
+    assert fused_step_supported(3200, **kw)
+    assert fused_step_supported(104, **kw)
+
+
+def test_cross_attn_qper_legal_blocks():
+    """cross_attn_sublayer's q_per grouping must give 8-divisible row
+    blocks whenever the total row count is 8-divisible (the only case the
+    fused_step_supported gate lets through)."""
+    for b, k in ((2, 100), (32, 100), (2, 64), (4, 10), (6, 20)):
+        assert (b * k) % 8 == 0
+        q_per = b
+        for cand in range(min(b, max(1, 256 // k)), 0, -1):
+            if b % cand == 0 and (cand * k) % 8 == 0:
+                q_per = cand
+                break
+        block = q_per * k
+        assert b % q_per == 0
+        assert block % 8 == 0, (b, k, q_per)
