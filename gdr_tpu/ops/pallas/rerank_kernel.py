@@ -28,6 +28,19 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 NEG_INF = -1.0e9
 ROWS_PER_BLOCK = 8
+LANE = 128
+
+
+def rerank_pallas_supported(d: int) -> bool:
+    """Can the streaming kernels compile for a store of width ``d`` on TPU?
+
+    Both kernels DMA HBM slices at the store's full lane width; Mosaic
+    requires that last-dimension slice to be 128-lane aligned (observed
+    hardware failure at d=64: "Slice shape along dimension 1 must be
+    aligned to tiling (128)").  Callers fall back to the XLA gather path
+    for narrower stores — interpret mode (tests/virtual meshes) is exempt.
+    """
+    return d % LANE == 0
 
 
 def _kernel(docs_ref, q_ref, mask_ref, store_ref, out_ref, scratch, sems,

@@ -24,6 +24,13 @@ Array = jax.Array
 NEG_INF = -1.0e9
 
 
+def _pallas_ok(d: int, interpret: bool) -> bool:
+    """Use the Pallas streaming kernels only where Mosaic can compile them
+    (store lane width 128-aligned); interpret mode never hits Mosaic."""
+    from gdr_tpu.ops.pallas.rerank_kernel import rerank_pallas_supported
+    return interpret or rerank_pallas_supported(d)
+
+
 def padded_top_k(scores: Array, payload: Array, k: int
                  ) -> tuple[Array, Array]:
     """``lax.top_k`` where ``k`` may exceed the candidate axis.
@@ -103,7 +110,8 @@ def rerank(doc_store: Array, query_emb: Array, nodes: Array,
         # int8 store: dequantising dot (memory-pressure configuration)
         sim = fn(quantized_dot(q_bk, doc_store, docs))
         sim = jnp.where(mask, sim, NEG_INF)
-    elif use_pallas and squash == "tanh":
+    elif use_pallas and squash == "tanh" and _pallas_ok(
+            doc_store.shape[-1], pallas_interpret):
         from gdr_tpu.ops.pallas.rerank_kernel import rerank_scores_pallas
         qrows = q_bk.reshape(b * k, -1)
         sim = rerank_scores_pallas(doc_store, docs.reshape(b * k, cap),
@@ -160,7 +168,8 @@ def rerank_packed(packed_rows: Array, packed_starts: Array,
     else:
         q_bk = query_emb
 
-    if use_pallas and squash == "tanh":
+    if use_pallas and squash == "tanh" and _pallas_ok(
+            packed_rows.shape[-1], pallas_interpret):
         from gdr_tpu.ops.pallas.rerank_kernel import packed_scores_pallas
         sim = packed_scores_pallas(packed_rows, start.reshape(-1),
                                    q_bk.reshape(b * k, -1), cap,

@@ -175,7 +175,9 @@ def sharded_rerank_packed(mesh: Mesh, packed_rows: Array, starts: Array,
         owned = ok & (start // shard_rows == shard)
         local = jnp.clip(start - shard * shard_rows, 0,
                          shard_rows - cap)                   # [B, K]
-        if use_pallas and squash == "tanh":
+        from gdr_tpu.ops.rerank import _pallas_ok
+        if use_pallas and squash == "tanh" and _pallas_ok(
+                store_local.shape[-1], pallas_interpret):
             from gdr_tpu.ops.pallas.rerank_kernel import packed_scores_pallas
             sim = packed_scores_pallas(
                 store_local, local.reshape(-1), q.reshape(b * k, -1), cap,
