@@ -59,10 +59,13 @@ def build_nq_scale_trie(n_docs: int, kary: int, leaf_cap: int,
 
 
 def _source_hash() -> str:
-    """Hash of every gdr_tpu source file + bench.py: the quality cache key
-    must change whenever model/loss/eval code changes, or cached checkpoints
-    silently describe an old model (round-2 Weak #3)."""
+    """Hash of every gdr_tpu source file + the quality phase's own source:
+    the quality cache key must change whenever model/loss/eval code or the
+    bench's data generation changes, or cached checkpoints silently describe
+    an old model (round-2 Weak #3).  Hashing only ``quality_phase`` (not all
+    of bench.py) keeps edits to the other phases from forcing a retrain."""
     import hashlib
+    import inspect
     h = hashlib.sha256()
     root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "gdr_tpu")
@@ -71,8 +74,7 @@ def _source_hash() -> str:
             if f.endswith(".py"):
                 with open(os.path.join(dirpath, f), "rb") as fh:
                     h.update(fh.read())
-    with open(os.path.abspath(__file__), "rb") as fh:
-        h.update(fh.read())
+    h.update(inspect.getsource(quality_phase).encode())
     return h.hexdigest()[:10]
 
 
@@ -305,6 +307,52 @@ def quality_phase(tiny: bool) -> dict:
     if "store_refresh_seconds" in loop.last_epoch_metrics:
         out["quality_store_refresh_s"] = round(
             loop.last_epoch_metrics["store_refresh_seconds"], 1)
+
+    # ---- corpus expansion WITHOUT retraining (paper headline) -----------
+    # New docs (fresh doc-words, existing topics) are inserted into the
+    # trained index by nearest-cluster-embedding matching (expand_index —
+    # ref tree_embedding_insert, main_models.py:268-295) and must become
+    # retrievable through the SAME model/checkpoint; the original dev set
+    # must not regress (ref eval over the enlarged corpus, main_utils.py:
+    # 285-322 "dev2").
+    t0 = time.perf_counter()
+    from gdr_tpu.index.expand import expand_index
+    n_new = 40 if tiny else 2048
+    r_x = np.random.default_rng(777)
+    new_topics = r_x.integers(0, n_topics, n_new)
+    new_words = [[f"x{d}u{j}" for j in range(4)] for d in range(n_new)]
+    new_store = (centers[new_topics]
+                 + r_x.normal(size=(n_new, dim))).astype(np.float32)
+    new_store /= np.linalg.norm(new_store, axis=1, keepdims=True)
+    big = expand_index(index, new_store)
+    t_phase["expand_insert_s"] = round(time.perf_counter() - t0, 2)
+
+    def make_new_query(i, r):
+        words = (list(r.choice(topic_words[new_topics[i]], 4, replace=False))
+                 + list(r.choice(new_words[i], 2, replace=False))
+                 + [f"n{int(r.integers(0, 99999))}"])
+        r.shuffle(words)
+        return " ".join(words)
+
+    r_xq = np.random.default_rng(778)
+    nq_ids, nq_mask = tok.encode_batch(
+        [make_new_query(i, r_xq) for i in range(n_new)], seq_len)
+    new_dev = EvalData(
+        input_ids=nq_ids, attn_mask=nq_mask,
+        gt_docs=[[str(n_docs + i)] for i in range(n_new)],
+        gt_cids=[[big.cid_of_doc[n_docs + i]] for i in range(n_new)])
+    t0 = time.perf_counter()
+    ev_big = Evaluator(loop.model, big.trie, big.store, cfg.eval)
+    m_new = ev_big.evaluate(params, new_dev, batch_size=64)
+    m_old = ev_big.evaluate(params, dev, batch_size=64)
+    t_phase["expand_eval_s"] = round(time.perf_counter() - t0, 1)
+    for k in (1, 10, 100):
+        out[f"expansion_newdoc_recall{k}"] = round(max(
+            m_new[f"recall{k}_{a}"] for a in alphas), 4)
+    out["expansion_olddoc_recall10"] = round(max(
+        m_old[f"recall10_{a}"] for a in alphas), 4)
+    out["expansion_n_new"] = n_new
+
     out.update({f"quality_{k}": v for k, v in t_phase.items()})
     log(f"quality: {out}")
     return out
