@@ -37,6 +37,77 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# ---------------------------------------------------------------------------
+# Budget + incremental-summary machinery.  BENCH_r03 was killed by the driver
+# (rc=124) before the single final print — losing every number the run had
+# already produced.  The rules now:
+#   * the summary JSON line is (re)printed after EVERY phase (last line wins);
+#   * SIGTERM/SIGINT print the partial summary and exit 0 instead of dying;
+#   * phases run in information-value order under a wall-clock budget
+#     (GDR_BENCH_BUDGET_S) — later phases are skipped, not the summary.
+# ---------------------------------------------------------------------------
+_T0 = time.time()
+SUMMARY: dict = {"metric": "queries_per_sec_beam100_1chip", "value": 0.0,
+                 "unit": "queries/s", "vs_baseline": 0.0, "incomplete": True}
+_SKIPPED: list = []
+_CHILD = None
+
+
+def budget_s() -> float:
+    return float(os.environ.get("GDR_BENCH_BUDGET_S", "1680"))
+
+
+def deadline_ts() -> float:
+    return _T0 + budget_s()
+
+
+def remaining_s() -> float:
+    return deadline_ts() - time.time()
+
+
+def emit(final: bool = False) -> None:
+    """Print the summary line NOW (stdout, flushed) — the driver parses the
+    last stdout JSON line, so every phase boundary refreshes it."""
+    SUMMARY["incomplete"] = (not final) or bool(_SKIPPED)
+    if _SKIPPED:
+        SUMMARY["skipped_phases"] = sorted(set(_SKIPPED))
+    SUMMARY["elapsed_s"] = round(time.time() - _T0, 1)
+    print(json.dumps(SUMMARY), flush=True)
+
+
+def _on_signal(signum, frame):
+    log(f"bench: received signal {signum} — emitting partial summary")
+    child = _CHILD
+    if child is not None:
+        try:
+            child.terminate()
+        except Exception:
+            pass
+    _SKIPPED.append("killed_by_signal")
+    emit()
+    os._exit(0)
+
+
+def _phase_deadline() -> float:
+    """Absolute deadline for a --phase child (set by the parent)."""
+    return float(os.environ.get("GDR_BENCH_DEADLINE_TS", "inf"))
+
+
+_IS_PHASE_CHILD = False
+
+
+def snap(d: dict) -> None:
+    """Milestone snapshot: in a --phase child, printed as its own JSON line
+    so the parent keeps everything produced so far even if the phase is cut
+    at its cap; in-process (tiny mode), merged straight into the summary —
+    a bare partial dict must never be the last stdout line."""
+    if _IS_PHASE_CHILD:
+        print(json.dumps(d), flush=True)
+    else:
+        SUMMARY.update(d)
+        emit()
+
+
 def build_nq_scale_trie(n_docs: int, kary: int, leaf_cap: int,
                         max_docs_per_cluster: int):
     """Systematic 3-level trie holding n_docs in clusters of ≤ leaf_cap."""
@@ -233,8 +304,17 @@ def quality_phase(tiny: bool) -> dict:
     if loop.start_epoch:
         log(f"quality: resumed product checkpoint at epoch "
             f"{loop.start_epoch} ({os.path.basename(workdir)})")
-    best = loop.run()
+    # train under the parent's wall-clock cap, reserving room for the eval
+    # sections: a budget-bounded run degrades to fewer epochs (resumable
+    # next round from the same workdir) instead of a killed phase with no
+    # quality numbers at all (BENCH_r03)
+    dl = _phase_deadline()
+    best = loop.run(deadline=(None if dl == float("inf")
+                              else dl - (30 if tiny else 300)))
     t_phase["train_s"] = round(time.perf_counter() - t0, 1)
+    epochs_ran = int(loop.last_epoch_metrics.get("epoch", -1)) + 1
+    snap({"quality_epochs_ran": epochs_ran or loop.start_epoch,
+          "quality_train_s": t_phase["train_s"]})
     log(f"quality: TrainLoop best={ {k: round(v, 4) for k, v in best.items() if isinstance(v, float)} }")
 
     # final eval through the product Evaluator with the best checkpoint
@@ -248,16 +328,28 @@ def quality_phase(tiny: bool) -> dict:
     metrics = ev_main.evaluate(params, dev, batch_size=64)
     t_phase["eval_s"] = round(time.perf_counter() - t0, 1)
 
-    # decoder-fusion query-rep path (decoder_avg + encoder, pooled in the
-    # beam carry).  NOTE: this checkpoint trains query_source="encoder"
-    # (the reference default), so the averaged-in decoder rep is UNTRAINED —
-    # the metric proves the path runs and quantifies that gap; it is
-    # expected to sit below quality_recall10 (round-2 Weak #4).
-    ev_fuse = Evaluator(loop.model, index.trie, index.store,
-                        dataclasses.replace(
-                            cfg.eval, use_query_embed_encoder=True,
-                            use_query_embed_decoder_avg=True))
-    m_fuse = ev_fuse.evaluate(params, dev, batch_size=64)
+    # doc-level metrics are per fusion-α ("recall10_0.0", …); report the
+    # best α like the reference's sweep (main_models.py:1798-1908)
+    alphas = (0.0, 1.0)
+    out = {f"quality_recall{k}": round(max(
+        metrics[f"recall{k}_{a}"] for a in alphas), 4) for k in (1, 10, 100)}
+    out["quality_mrr10"] = round(max(
+        metrics[f"MRR10_{a}"] for a in alphas), 4)
+    out["quality_cluster_recall1"] = round(metrics["cluster_recall1"], 4)
+    out["quality_n_docs"] = n_docs
+    out["quality_epochs_ran"] = epochs_ran or loop.start_epoch
+    # the two-stage schedule's live-tower epochs (refreshed store): recall
+    # at the stage-2 operating point, from the TrainLoop's own eval
+    for k in ("recall10_0.0", "recall10_1.0"):
+        if loop.last_epoch_metrics.get("stage") == 2 and \
+                k in loop.last_epoch_metrics:
+            out["quality_stage2_recall10"] = max(
+                out.get("quality_stage2_recall10", 0.0),
+                round(loop.last_epoch_metrics[k], 4))
+    if "store_refresh_seconds" in loop.last_epoch_metrics:
+        out["quality_store_refresh_s"] = round(
+            loop.last_epoch_metrics["store_refresh_seconds"], 1)
+    snap(out)
 
     # dense oracle: exhaustive tanh(q·d) with the SAME query embeddings
     model = loop.model
@@ -273,40 +365,33 @@ def quality_phase(tiny: bool) -> dict:
     eval_store = np.asarray(index.store, np.float32)
     sims = np.tanh(q @ eval_store.T)
     top = np.argsort(-sims, axis=1)[:, :100]
-    oracle = {}
     for k in (1, 10, 100):
-        oracle[f"oracle_recall{k}"] = float(
+        out[f"oracle_recall{k}"] = float(
             np.mean([dev_docs[i] in top[i, :k] for i in range(len(dev_docs))]))
-
-    # doc-level metrics are per fusion-α ("recall10_0.0", …); report the
-    # best α like the reference's sweep (main_models.py:1798-1908)
-    alphas = (0.0, 1.0)
-    out = {f"quality_recall{k}": round(max(
-        metrics[f"recall{k}_{a}"] for a in alphas), 4) for k in (1, 10, 100)}
-    out["quality_mrr10"] = round(max(
-        metrics[f"MRR10_{a}"] for a in alphas), 4)
-    out["quality_cluster_recall1"] = round(metrics["cluster_recall1"], 4)
-    out["quality_recall10_decfuse"] = round(max(
-        m_fuse[f"recall10_{a}"] for a in (0.0, 1.0)), 4)
-    out["quality_decfuse_note"] = ("untrained decoder rep averaged into a "
-                                   "query_source=encoder checkpoint; "
-                                   "expected below quality_recall10")
-    out.update(oracle)
     out["recall10_vs_oracle"] = (
-        round(out["quality_recall10"] / oracle["oracle_recall10"], 4)
-        if oracle["oracle_recall10"] > 0 else 0.0)
-    out["quality_n_docs"] = n_docs
-    # the two-stage schedule's live-tower epochs (refreshed store): recall
-    # at the stage-2 operating point, from the TrainLoop's own eval
-    for k in ("recall10_0.0", "recall10_1.0"):
-        if loop.last_epoch_metrics.get("stage") == 2 and \
-                k in loop.last_epoch_metrics:
-            out["quality_stage2_recall10"] = max(
-                out.get("quality_stage2_recall10", 0.0),
-                round(loop.last_epoch_metrics[k], 4))
-    if "store_refresh_seconds" in loop.last_epoch_metrics:
-        out["quality_store_refresh_s"] = round(
-            loop.last_epoch_metrics["store_refresh_seconds"], 1)
+        round(out["quality_recall10"] / out["oracle_recall10"], 4)
+        if out["oracle_recall10"] > 0 else 0.0)
+    snap(out)
+
+    if time.time() < dl - 60:
+        # decoder-fusion query-rep path (decoder_avg + encoder, pooled in
+        # the beam carry).  NOTE: this checkpoint trains
+        # query_source="encoder" (the reference default), so the averaged-in
+        # decoder rep is UNTRAINED — the metric proves the path runs and
+        # quantifies that gap (round-2 Weak #4); quality_recall10_decfuse_t
+        # below is the apples-to-apples number from a fusion-trained
+        # checkpoint.
+        ev_fuse = Evaluator(loop.model, index.trie, index.store,
+                            dataclasses.replace(
+                                cfg.eval, use_query_embed_encoder=True,
+                                use_query_embed_decoder_avg=True))
+        m_fuse = ev_fuse.evaluate(params, dev, batch_size=64)
+        out["quality_recall10_decfuse"] = round(max(
+            m_fuse[f"recall10_{a}"] for a in (0.0, 1.0)), 4)
+        out["quality_decfuse_note"] = ("untrained decoder rep averaged into "
+                                       "a query_source=encoder checkpoint; "
+                                       "see quality_recall10_decfuse_t")
+        snap(out)
 
     # ---- corpus expansion WITHOUT retraining (paper headline) -----------
     # New docs (fresh doc-words, existing topics) are inserted into the
@@ -315,6 +400,11 @@ def quality_phase(tiny: bool) -> dict:
     # retrievable through the SAME model/checkpoint; the original dev set
     # must not regress (ref eval over the enlarged corpus, main_utils.py:
     # 285-322 "dev2").
+    if time.time() >= dl - 60:
+        out["quality_expansion_skipped"] = "phase deadline"
+        out.update({f"quality_{k}": v for k, v in t_phase.items()})
+        log(f"quality (deadline-cut): {out}")
+        return out
     t0 = time.perf_counter()
     from gdr_tpu.index.expand import expand_index
     n_new = 40 if tiny else 2048
@@ -352,6 +442,38 @@ def quality_phase(tiny: bool) -> dict:
     out["expansion_olddoc_recall10"] = round(max(
         m_old[f"recall10_{a}"] for a in alphas), 4)
     out["expansion_n_new"] = n_new
+    snap(out)
+
+    # ---- fusion-TRAINED decoder-rep checkpoint ---------------------------
+    # quality_recall10_decfuse above runs the decoder-avg path against a
+    # checkpoint that never trained it (round-3 Weak #3: "proven to run,
+    # never proven to help").  Train a query_source="decoder_avg" run of the
+    # same task and evaluate the SAME path — the apples-to-apples number.
+    if time.time() < dl - (20 if tiny else 300):
+        f_epochs = 1 if tiny else max(2, epochs // 2)
+        cfg_f = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(mcfg, query_source="decoder_avg"),
+            train=dataclasses.replace(cfg.train,
+                                      num_train_epochs=f_epochs,
+                                      train_encoder_epoch=f_epochs),
+            eval=dataclasses.replace(cfg.eval,
+                                     use_query_embed_decoder_avg=True))
+        loop_f = TrainLoop(cfg_f, index, train_set, dev,
+                           workdir=workdir + "_decfuse", seed=0,
+                           eval_every=f_epochs,
+                           packed_eval=True, eval_pallas=not tiny)
+        loop_f.run(deadline=dl - (10 if tiny else 150))
+        _, raw_f = loop_f.ckpt.restore_raw()
+        params_f = (raw_f["params"]["generator"] if raw_f is not None
+                    else loop_f.state.params["generator"])
+        ev_ft = Evaluator(loop_f.model, index.trie, index.store, cfg_f.eval)
+        m_ft = ev_ft.evaluate(params_f, dev, batch_size=64)
+        out["quality_recall10_decfuse_t"] = round(max(
+            m_ft[f"recall10_{a}"] for a in (0.0, 1.0)), 4)
+        out["quality_decfuse_t_epochs"] = int(
+            loop_f.last_epoch_metrics.get("epoch", -1)) + 1
+        snap(out)
 
     out.update({f"quality_{k}": v for k, v in t_phase.items()})
     log(f"quality: {out}")
@@ -427,8 +549,9 @@ def train_step_phase(tiny: bool, bf16: bool = True) -> dict:
         f"chunks {np.array2string(np.asarray(chunks), precision=1)})")
     key = "train_step_ms_b32" if bf16 else "train_step_fp32_ms_b32"
     out = {key: round(ms, 1)}
+    snap(out)
 
-    if bf16:
+    if bf16 and time.time() < _phase_deadline() - 60:
         # Amortised throughput at the batch the step is actually efficient
         # at: the b32 step is optimizer/dispatch-bound (~13 ms fixed AdamW +
         # tunnel cost), so examples/s keeps climbing with batch
@@ -484,29 +607,73 @@ _PHASES = {
 }
 
 
-def _phase_subprocess(phase: str, timeout: int = 5400) -> dict:
-    """Run one heavy phase as ``python bench.py --phase <name>`` and parse
-    the JSON line it prints.  Failure → logged, empty dict."""
+def _phase_subprocess(phase: str, timeout: float) -> dict:
+    """Run one heavy phase as ``python bench.py --phase <name>``, streaming
+    its stdout: every line that parses as a JSON dict merges into the
+    phase's result, so a cap/kill keeps everything the phase snapshotted so
+    far instead of losing the whole phase (BENCH_r03 failure mode)."""
+    global _CHILD
     import subprocess
-    log(f"--- phase {phase} (subprocess) ---")
+    import threading
+    log(f"--- phase {phase} (subprocess, cap {timeout:.0f}s) ---")
+    parsed: dict = {}
     try:
-        proc = subprocess.run(
+        proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--phase", phase],
-            capture_output=True, text=True, timeout=timeout)
-        sys.stderr.write(proc.stderr[-4000:])
-        if proc.returncode != 0:
+            stdout=subprocess.PIPE, stderr=None, text=True,
+            env={**os.environ,
+                 "GDR_BENCH_DEADLINE_TS":
+                     str(min(deadline_ts(), time.time() + timeout))})
+        _CHILD = proc
+
+        def _reader():
+            for line in proc.stdout:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    d = json.loads(line)
+                    if isinstance(d, dict):
+                        parsed.update(d)
+                except ValueError:
+                    pass
+
+        t = threading.Thread(target=_reader, daemon=True)
+        t.start()
+        try:
+            proc.wait(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            log(f"phase {phase} hit its {timeout:.0f}s cap — keeping "
+                f"{len(parsed)} partial fields")
+            proc.terminate()
+            try:
+                proc.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+            parsed[f"{phase}_partial"] = True
+        t.join(timeout=10)
+        if proc.returncode not in (0, None) and not parsed:
             log(f"phase {phase} FAILED (exit {proc.returncode})")
             return {f"{phase}_failed": True}
-        return json.loads(proc.stdout.strip().splitlines()[-1])
+        return parsed
     except Exception as e:
         log(f"phase {phase} FAILED ({type(e).__name__}: {e})")
-        return {f"{phase}_failed": True}
+        return parsed or {f"{phase}_failed": True}
+    finally:
+        _CHILD = None
 
 
 def main() -> None:
     tiny = os.environ.get("GDR_BENCH_TINY") == "1"
     import jax
     import jax.numpy as jnp
+
+    # the outer environment pins the platform to the TPU tunnel ("axon")
+    # regardless of JAX_PLATFORMS; honor an explicit env request (the tiny
+    # smoke must run on CPU) via the config API — see tests/conftest.py
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat)
 
     # persistent compile cache: bench re-runs skip XLA compilation
     jax.config.update("jax_compilation_cache_dir",
@@ -628,10 +795,11 @@ def main() -> None:
     log(f"throughput: {qps:.1f} q/s over {iters}x{group}x{qbatch} queries "
         f"({total*1e3:.1f} ms total); per-batch ms: "
         f"{np.array2string(lat_ms, precision=1)}")
+    SUMMARY.update(value=round(qps, 2), vs_baseline=round(qps / 50.0, 3),
+                   fused_decode=fused, fused_pawa=fused_pawa)
+    emit()
 
-    # Pallas re-rank vs XLA gather: bit-exactness asserted as part of the
-    # recorded benchmark (round-1 claimed it only in docs)
-    extra = {"fused_decode": fused, "fused_pawa": fused_pawa}
+    extra = SUMMARY     # every section below merges into the live summary
     if not tiny:
         # ---- single-query p50 latency (BASELINE: <20 ms device-side at
         # beam 100, batch 1 — infer.sh's operating point).  The wall time
@@ -678,22 +846,7 @@ def main() -> None:
         log(f"latency: batch-1 beam-{beams} p50 wall {p50:.1f} ms, tunnel "
             f"dispatch p50 {tun50:.1f} ms → device-side ≈ "
             f"{extra['latency_p50_ms_batch1']:.1f} ms")
-
-        # ---- distributed re-rank timing (8-virtual-device CPU mesh, in a
-        # subprocess — this process is bound to the TPU platform)
-        import subprocess
-        try:
-            proc = subprocess.run(
-                [sys.executable,
-                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "benchmarks", "profile_dist_rerank.py")],
-                capture_output=True, text=True, timeout=600,
-                env={**os.environ, "JAX_PLATFORMS": "cpu"})
-            line = proc.stdout.strip().splitlines()[-1]
-            extra.update(json.loads(line))
-            log(f"dist rerank (virtual 4x2): {line}")
-        except Exception as e:
-            log(f"dist rerank phase skipped ({type(e).__name__}: {e})")
+        emit()
 
     if not tiny:
         ev_xla = Evaluator(model, trie, store, ev_cfg, packed=True,
@@ -711,7 +864,9 @@ def main() -> None:
         assert diff < 1e-3, diff
         extra["pallas_xla_max_score_diff"] = diff
         extra["pallas_xla_id_match"] = round(id_match, 4)
+        emit()
 
+    if not tiny and remaining_s() > 240:
         # index build: on-device hierarchical k-means over the same 334k
         # store (the reference's slowest offline step — recursive sklearn
         # over ~900 clusters, kmeans.py:41-90).  First call includes XLA
@@ -757,6 +912,9 @@ def main() -> None:
             f"{n_embed} docs in {dt:.1f}s; first incl. compile {warm:.1f}s)")
         assert np.isfinite(embs).all()
         extra["embed_docs_per_sec"] = round(dps, 0)
+        emit()
+    elif not tiny:
+        _SKIPPED.extend(["kmeans", "embed_corpus"])
 
     # The heavy phases each build full train states (fp32 params + AdamW
     # moments of the 376M-param flagship ≈ 4.5 GB; the amortised-throughput
@@ -765,33 +923,83 @@ def main() -> None:
     # field instead of sinking the benchmark (measured: in-process bf16 +
     # fp32 + quality back-to-back RESOURCE_EXHAUSTEDs a v5e with the serving
     # store still resident).  Tiny mode stays in-process (CPU smoke).
+    #
+    # Order = information value (round-3 ran quality LAST and lost it to
+    # the driver kill): quality first, then the bf16 train step, then the
+    # CPU dist-rerank shapes, then the fp32 comparison step.  Each phase's
+    # cap leaves a reserve for the ones after it; a phase that would get
+    # less than its minimum useful window is skipped outright.
     if tiny:
         extra.update(train_step_phase(tiny, bf16=True))
         extra.update(quality_phase(tiny))
     else:
-        for phase in ("trainstep_bf16", "trainstep_fp32", "quality"):
-            extra.update(_phase_subprocess(phase))
+        schedule = (
+            # (name, reserve for later phases, minimum useful window)
+            ("quality", 420, 300),
+            ("trainstep_bf16", 120, 120),
+            ("dist_rerank", 60, 120),
+            ("trainstep_fp32", 30, 120),
+        )
+        for phase, reserve, min_win in schedule:
+            cap = remaining_s() - reserve
+            if cap < min_win:
+                log(f"phase {phase} skipped ({remaining_s():.0f}s left "
+                    f"< {min_win + reserve}s needed)")
+                _SKIPPED.append(phase)
+                continue
+            if phase == "dist_rerank":
+                _dist_rerank_phase(extra, timeout=min(cap, 600))
+            else:
+                extra.update(_phase_subprocess(phase, timeout=cap))
+            emit()
 
-    print(json.dumps({
-        "metric": "queries_per_sec_beam100_1chip",
-        "value": round(qps, 2),
-        "unit": "queries/s",
-        "vs_baseline": round(qps / 50.0, 3),
-        **extra,
-    }))
+    emit(final=True)
+
+
+def _dist_rerank_phase(extra: dict, timeout: float) -> None:
+    """Distributed re-rank timing (8-virtual-device CPU mesh, subprocess —
+    the parent process is bound to the TPU platform)."""
+    import subprocess
+    try:
+        proc = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "benchmarks", "profile_dist_rerank.py")],
+            capture_output=True, text=True, timeout=timeout,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        line = proc.stdout.strip().splitlines()[-1]
+        extra.update(json.loads(line))
+        log(f"dist rerank (virtual 4x2): {line}")
+    except Exception as e:
+        log(f"dist rerank phase skipped ({type(e).__name__}: {e})")
+        _SKIPPED.append("dist_rerank")
 
 
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--phase":
+        _IS_PHASE_CHILD = True
         import jax
+        _plat = os.environ.get("JAX_PLATFORMS")
+        if _plat:
+            jax.config.update("jax_platforms", _plat)
         jax.config.update("jax_compilation_cache_dir",
                           os.path.join(os.path.dirname(
                               os.path.abspath(__file__)), ".jax_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         print(json.dumps(_PHASES[sys.argv[2]]()))
         sys.exit(0)
+    import signal
+    signal.signal(signal.SIGTERM, _on_signal)   # driver `timeout` sends TERM
+    signal.signal(signal.SIGINT, _on_signal)
     try:
         main()
     except Exception as e:  # transient tunnel failures (FailedPrecondition)
-        log(f"bench attempt failed ({type(e).__name__}: {e}); retrying once")
-        main()
+        if remaining_s() < 300:
+            log(f"bench attempt failed ({type(e).__name__}: {e}); "
+                f"only {remaining_s():.0f}s left — emitting partial summary")
+            _SKIPPED.append(f"aborted:{type(e).__name__}")
+            emit()
+        else:
+            log(f"bench attempt failed ({type(e).__name__}: {e}); "
+                "retrying once")
+            main()

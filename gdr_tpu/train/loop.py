@@ -194,12 +194,18 @@ class TrainLoop:
         batch["cand_tok_mask"] = self.doc_tok_mask[idx]
         return batch
 
-    def run(self, max_epochs: Optional[int] = None) -> dict[str, float]:
+    def run(self, max_epochs: Optional[int] = None,
+            deadline: Optional[float] = None) -> dict[str, float]:
+        """``deadline``: absolute ``time.time()`` bound — training stops at
+        the first epoch boundary past it, persisting a resume point (the
+        driver-budget guard: a wall-clock-bounded run degrades to fewer
+        epochs instead of a killed process with no checkpoint)."""
         from gdr_tpu.utils.preemption import PreemptionGuard
         with PreemptionGuard() as guard:
-            return self._run(guard, max_epochs)
+            return self._run(guard, max_epochs, deadline)
 
-    def _run(self, guard, max_epochs: Optional[int] = None) -> dict[str, float]:
+    def _run(self, guard, max_epochs: Optional[int] = None,
+             deadline: Optional[float] = None) -> dict[str, float]:
         cfg = self.cfg.train
         epochs = max_epochs or cfg.num_train_epochs
         best: dict[str, float] = {}
@@ -312,5 +318,13 @@ class TrainLoop:
                     best = dict(metrics)
             self.logger.log(metrics, global_step)
             self.last_epoch_metrics = metrics
+            if deadline is not None and time.time() >= deadline:
+                if (epoch + 1) % self.eval_every != 0:
+                    # no regular checkpoint landed this epoch: persist the
+                    # completed-epoch state under epoch+1 so a resume starts
+                    # exactly at the first untrained epoch
+                    self.ckpt.save_preemption(epoch + 1, self.state)
+                self.logger.log({"deadline_stop_epoch": epoch}, global_step)
+                break
         self.logger.close()
         return best

@@ -34,3 +34,24 @@ assert jax.device_count() == 8, jax.devices()
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+# ---------------------------------------------------------------------------
+# fast / slow tiers: `pytest -m fast` is the quick green signal (~90 s warm
+# on this 1-core host, measured); everything compile-heavy (beam decode,
+# TrainLoop e2e, parity oracles, multi-process distributed) is `slow`.
+# Marking is per-module so a new test lands in the right tier by file.
+# ---------------------------------------------------------------------------
+_FAST_MODULES = {
+    "test_codec", "test_trie", "test_masks", "test_metrics", "test_rerank",
+    "test_data", "test_io_utils", "test_subword", "test_native",
+    "test_packed_store", "test_losses_extra", "test_index", "test_kmeans",
+    "test_convert", "test_pallas_rerank", "test_checkpoint", "test_quantize",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        item.add_marker(pytest.mark.fast if mod in _FAST_MODULES
+                        else pytest.mark.slow)
