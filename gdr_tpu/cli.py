@@ -130,14 +130,31 @@ def cmd_index(args) -> None:
 
     titles, texts = _read_corpus_tsv(args.corpus)
     enc = _doc_encoder(args)
+    if args.bert_ckpt:
+        # pretrained doc tower (ref embeds the corpus with AR2/BERT weights,
+        # bert/bert.py:26-27): the tower takes the checkpoint's architecture
+        from gdr_tpu.models.convert import bert_model_overrides
+        enc = dataclasses.replace(enc, **bert_model_overrides(args.bert_ckpt))
     # tokenizer ids MUST stay inside the encoder's embedding table: an
     # out-of-bounds jnp.take fills NaN and silently poisons the whole store
-    tok = load_tokenizer(args.doc_tokenizer, vocab_size=enc.vocab_size)
+    tok = load_tokenizer(args.doc_tokenizer or args.bert_ckpt,
+                         vocab_size=enc.vocab_size)
     if tok.vocab_size != enc.vocab_size:
+        if args.bert_ckpt:
+            raise ValueError(
+                f"--doc-tokenizer vocab ({tok.vocab_size}) must match the "
+                f"--bert-ckpt vocab ({enc.vocab_size})")
         # a trained subword vocab sizes the tower's embedding table
         enc = dataclasses.replace(enc, vocab_size=tok.vocab_size)
     ids, mask = tok.encode_batch(texts, args.encoder_max_len)
     params = enc.init(jax.random.PRNGKey(args.seed), ids[:2], mask[:2])
+    if args.bert_ckpt:
+        from gdr_tpu.models.convert import (bert_state_dict_from_pretrained,
+                                            load_bert_encoder)
+        params = load_bert_encoder(
+            params, bert_state_dict_from_pretrained(args.bert_ckpt),
+            enc.num_layers, enc.num_heads)
+        print(f"doc tower warm-started from {args.bert_ckpt}")
     if args.encoder_ckpt:
         params = _load_msgpack(args.encoder_ckpt, params)
     cfg = IndexConfig(kary=args.kary, leaf_cap=args.leaf_cap, seed=args.seed,
@@ -163,8 +180,22 @@ def cmd_train(args) -> None:
 
     index = load_index(args.index)
     mcfg = _model_config(args, store_dim=index.store.shape[1])
-    tok = load_tokenizer(args.tokenizer, vocab_size=mcfg.vocab_size)
+    if args.t5_ckpt and not args.t5_ckpt.endswith(".npz"):
+        # warm start (ref main_models.py:786-793): the tree must match the
+        # checkpoint's shapes exactly, so its config overrides the presets
+        # (an .npz export is shape-asserted at load instead — pass the
+        # matching --model-size flags)
+        from gdr_tpu.models.convert import t5_model_overrides
+        mcfg = dataclasses.replace(mcfg, **t5_model_overrides(args.t5_ckpt))
+    tok = load_tokenizer(args.tokenizer or args.t5_ckpt,
+                         vocab_size=mcfg.vocab_size)
     if tok.vocab_size != mcfg.vocab_size:
+        if args.t5_ckpt:
+            raise ValueError(
+                f"--tokenizer vocab ({tok.vocab_size}) must match the "
+                f"--t5-ckpt vocab ({mcfg.vocab_size}): resizing the "
+                "embedding table would break the warm start — point "
+                "--tokenizer at the checkpoint's own tokenizer")
         mcfg = dataclasses.replace(mcfg, vocab_size=tok.vocab_size)
     tcfg = TrainConfig(train_batch_size=args.batch_size,
                        stage2_train_batch_size=(args.stage2_batch_size
@@ -262,11 +293,28 @@ def cmd_train(args) -> None:
     doc_tokens = doc_tok_mask = doc_tower = None
     if args.corpus and args.train_encoder_epoch < args.epochs:
         doc_tower = _doc_encoder(args)
-        doc_tower = dataclasses.replace(doc_tower,
-                                        d_model=index.store.shape[1])
-        dtok = load_tokenizer(args.doc_tokenizer,
+        if args.bert_ckpt:
+            # the doc tower must BE the checkpoint's architecture, and its
+            # hidden size must be the dense-scoring space the index was
+            # embedded in (ref injects AR2/BERT weights, main_models.py:66-75)
+            from gdr_tpu.models.convert import bert_model_overrides
+            ov = bert_model_overrides(args.bert_ckpt)
+            if ov["d_model"] != index.store.shape[1]:
+                raise ValueError(
+                    f"--bert-ckpt hidden size ({ov['d_model']}) != index "
+                    f"store dim ({index.store.shape[1]}): rebuild the index "
+                    "with the same checkpoint (index --bert-ckpt)")
+            doc_tower = dataclasses.replace(doc_tower, **ov)
+        else:
+            doc_tower = dataclasses.replace(doc_tower,
+                                            d_model=index.store.shape[1])
+        dtok = load_tokenizer(args.doc_tokenizer or args.bert_ckpt,
                               vocab_size=doc_tower.vocab_size)
         if dtok.vocab_size != doc_tower.vocab_size:
+            if args.bert_ckpt:
+                raise ValueError(
+                    f"--doc-tokenizer vocab ({dtok.vocab_size}) must match "
+                    f"the --bert-ckpt vocab ({doc_tower.vocab_size})")
             # a trained subword vocab sizes the tower's embedding table
             doc_tower = dataclasses.replace(doc_tower,
                                             vocab_size=dtok.vocab_size)
@@ -275,6 +323,28 @@ def cmd_train(args) -> None:
                                                      args.encoder_max_len)
         print(f"stage 2 enabled: live doc tower over {len(doc_texts_s2)} "
               f"docs from epoch {args.train_encoder_epoch + 1}")
+    elif args.bert_ckpt:
+        raise ValueError("--bert-ckpt warm-starts the stage-2 doc tower: "
+                         "pass --corpus and --train-encoder-epoch < --epochs")
+
+    warm = None
+    if args.t5_ckpt or args.bert_ckpt:
+        def warm(params, _tower=doc_tower):
+            from gdr_tpu.models import convert
+            params = dict(params)
+            if args.t5_ckpt:
+                sd = convert.state_dict_from_pretrained(args.t5_ckpt)
+                params["generator"] = convert.load_t5_encoder(
+                    params["generator"], sd, mcfg.num_layers)
+                print(f"warm-started T5 encoder + shared embeddings "
+                      f"from {args.t5_ckpt}")
+            if args.bert_ckpt:
+                sd = convert.bert_state_dict_from_pretrained(args.bert_ckpt)
+                params["doc_encoder"] = convert.load_bert_encoder(
+                    params["doc_encoder"], sd, _tower.num_layers,
+                    _tower.num_heads)
+                print(f"warm-started BERT doc tower from {args.bert_ckpt}")
+            return params
 
     loop = TrainLoop(cfg, index, train_set, dev,
                      workdir=args.workdir, seed=args.seed,
@@ -282,7 +352,8 @@ def cmd_train(args) -> None:
                      doc_encoder=doc_tower,
                      mesh=_mesh_from_flag(args.mesh, args.batch_size),
                      packed_eval=args.packed_eval,
-                     eval_pallas=args.eval_pallas)
+                     eval_pallas=args.eval_pallas,
+                     warm_start=warm)
     loop.run()
 
 
@@ -505,6 +576,9 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("--doc-tokenizer", default=None)
     pi.add_argument("--encoder-size", default="full", choices=["full", "tiny"])
     pi.add_argument("--encoder-ckpt", default=None)
+    pi.add_argument("--bert-ckpt", default=None,
+                    help="local HF BERT/DPR/AR2 checkpoint dir to embed the "
+                         "corpus with (ref bert/bert.py:26-27)")
     pi.add_argument("--seed", type=int, default=7)
     pi.set_defaults(fn=cmd_index)
 
@@ -564,6 +638,16 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--weight-distill", type=float, default=0.0,
                     help="lm-head weight-distillation weight (ref "
                          "--weight_distillation)")
+    pt.add_argument("--t5-ckpt", default=None,
+                    help="warm-start the generator's encoder + shared "
+                         "embeddings from a local HF T5 checkpoint dir, or "
+                         "an export_t5_encoder .npz (ref copies pretrained "
+                         "t5-base params, main_models.py:786-793)")
+    pt.add_argument("--bert-ckpt", default=None,
+                    help="warm-start the stage-2 doc tower from a local HF "
+                         "BERT/DPR/AR2 checkpoint dir (ref "
+                         "main_models.py:66-75); requires --corpus and "
+                         "--train-encoder-epoch < --epochs")
     pt.add_argument("--qg", default=None,
                     help=".npz of generated pseudo-queries (from the `qg` "
                          "subcommand) to merge into the train set")
@@ -604,8 +688,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="fused Pallas decoder sublayers for the full-width "
                          "beam steps (TPU)")
     pe.add_argument("--fused-pawa", action="store_true",
-                    help="also fuse the PAWA adaptor decode sublayers "
-                         "(TPU; newer kernels, separate knob)")
+                    help="EXPERIMENTAL: also fuse the PAWA adaptor decode "
+                         "sublayers (measured slower than XLA on v5e — "
+                         "48.2 vs 45.5 ms/exec; profile with "
+                         "benchmarks/hw_preflight.py before enabling)")
     pe.add_argument("--int8-store", action="store_true",
                     help="hold the doc-embedding store as per-row int8 "
                          "(4x smaller; dequantising dot in the re-rank)")

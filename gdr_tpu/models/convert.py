@@ -88,6 +88,59 @@ def load_t5_encoder(params: dict, state_dict: Mapping[str, Any],
     return tree
 
 
+def export_t5_encoder(params: dict, num_layers: int) -> dict[str, np.ndarray]:
+    """Inverse of ``load_t5_encoder``: emit the encoder + shared-embedding
+    tensors of a gdr_tpu tree under HF t5 state-dict names (kernels
+    transposed back to torch's [out, in]).
+
+    Used to hand a trained gdr_tpu encoder to another run's ``--t5-ckpt``
+    warm start (and by the e2e warm-start test, which donates a trained
+    tiny encoder instead of downloading t5-base)."""
+    import jax
+
+    inner = jax.tree_util.tree_map(np.asarray, params)["params"]
+    sd: dict[str, np.ndarray] = {}
+    for hf_name, path in hf_encoder_mapping(num_layers).items():
+        node = inner
+        for p in path:
+            node = node[p]
+        val = np.asarray(node)
+        if path[-1] == "kernel":
+            val = val.T
+        sd[hf_name] = val
+    return sd
+
+
+def t5_model_overrides(path: str) -> dict[str, int]:
+    """ModelConfig field overrides matching a local HF T5 checkpoint, so the
+    warm-started encoder tensors fit the tree exactly (the reference
+    hard-assumes t5-base shapes, main_models.py:748-793)."""
+    from transformers import T5Config
+    c = T5Config.from_pretrained(path)
+    return dict(vocab_size=c.vocab_size, d_model=c.d_model, d_kv=c.d_kv,
+                d_ff=c.d_ff, num_layers=c.num_layers, num_heads=c.num_heads)
+
+
+def bert_model_overrides(path: str) -> dict[str, int]:
+    """DocEncoder field overrides matching a local HF BERT/DPR checkpoint."""
+    from transformers import BertConfig
+    c = BertConfig.from_pretrained(path)
+    return dict(vocab_size=c.vocab_size, d_model=c.hidden_size,
+                num_layers=c.num_hidden_layers,
+                num_heads=c.num_attention_heads,
+                d_ff=c.intermediate_size,
+                max_position=c.max_position_embeddings)
+
+
+def bert_state_dict_from_pretrained(path: str) -> Mapping[str, Any]:
+    """Load a local HF BERT-family checkpoint's state dict (no network).
+    Accepts plain BERT, DPR context encoders, and AR2 exports —
+    ``load_bert_encoder`` normalises the name prefixes."""
+    from transformers import AutoModel
+    model = AutoModel.from_pretrained(path)
+    return model.state_dict()
+
+
 def load_bert_encoder(params: dict, state_dict: Mapping[str, Any],
                       num_layers: int, num_heads: int) -> dict:
     """Copy a HuggingFace BERT state dict into a gdr_tpu DocEncoder tree.
@@ -273,7 +326,12 @@ def load_gdr_reference(params: dict, state_dict: Mapping[str, Any],
 
 
 def state_dict_from_pretrained(path: str) -> Mapping[str, Any]:
-    """Load a local HF T5 checkpoint's state dict (no network)."""
+    """Load a local HF T5 checkpoint's state dict (no network).  A ``.npz``
+    path loads an ``export_t5_encoder`` dump instead — the torch-free
+    interchange for donating a trained gdr_tpu encoder to another run."""
+    if path.endswith(".npz"):
+        z = np.load(path)
+        return {k: z[k] for k in z.files}
     from transformers import T5ForConditionalGeneration
     model = T5ForConditionalGeneration.from_pretrained(path)
     return model.state_dict()

@@ -41,7 +41,8 @@ class TrainLoop:
                  doc_tok_mask: Optional[np.ndarray] = None,
                  doc_encoder: Optional[DocEncoder] = None,
                  eval_every: int = 1, mesh=None,
-                 packed_eval: bool = False, eval_pallas: bool = False):
+                 packed_eval: bool = False, eval_pallas: bool = False,
+                 warm_start=None):
         """``mesh``: optional ``jax.sharding.Mesh`` (axes ``dp``/``mp``) —
         training then runs SPMD over it: batches sharded over ``dp``,
         parameters replicated (or column-sharded over ``mp`` via
@@ -89,6 +90,15 @@ class TrainLoop:
             cfg, self.model, self.doc_encoder, self.rng, total_steps=total,
             input_len=train_set.input_ids.shape[1],
             encoder_len=(doc_tokens.shape[1] if doc_tokens is not None else 16))
+        if warm_start is not None:
+            # pretrained warm start (ref copies t5-base encoder/shared params
+            # into its model, main_models.py:786-793, and BERT/AR2 weights
+            # into the doc tower, :66-75): a callable mapping the initialised
+            # params dict ({"generator": ..., "doc_encoder": ...}) to the
+            # warm-started one — see models/convert.py.  Applied before mesh
+            # sharding; a later checkpoint restore (resume) overrides it.
+            self.state = self.state.replace(
+                params=warm_start(self.state.params))
         if mesh is not None:
             from gdr_tpu.parallel.mesh import shard_params, tp_param_rules
             from gdr_tpu.parallel.store import place_store
