@@ -266,11 +266,20 @@ def cmd_train(args) -> None:
             len(queries), len(index.paths), positives,
             k=max(args.sample_neg_num * 3, 10), seed=args.seed)
 
-    if args.qg:
-        # merge generated pseudo-queries (the `qg` subcommand's .npz) —
+    # query-source mixing (ref --query_type, main_utils.py:146-223):
+    # gtq = ground-truth queries, qg = generated pseudo-queries (`qg`
+    # subcommand .npz), doc = first-doc_length-words-as-query, aug = random
+    # document spans.  Default mix: gtq, plus qg when --qg is given.
+    query_type = args.query_type or ("gtq_qg" if args.qg else "gtq")
+    sources = {"gtq": train_set}
+    wanted = query_type.split("_")
+    if "qg" in wanted:
         # the reference's load_qg merge of docTTTTTquery shards
         # (generate_training_data.py:92-112)
-        from gdr_tpu.data.dataset import TrainSet, build_train_set_from_tokens
+        from gdr_tpu.data.dataset import build_train_set_from_tokens
+        if not args.qg:
+            raise ValueError(f"--query-type {query_type} needs --qg "
+                             "(run the `qg` subcommand first)")
         z = np.load(args.qg)
         qt, qm = z["query_tokens"], z["query_mask"]
         s_train = train_set.input_ids.shape[1]
@@ -280,12 +289,24 @@ def cmd_train(args) -> None:
             qm = np.pad(qm, ((0, 0), (0, pad)))
         elif qt.shape[1] > s_train:
             qt, qm = qt[:, :s_train], qm[:, :s_train]
-        qg_ts = build_train_set_from_tokens(
+        sources["qg"] = build_train_set_from_tokens(
             qt, qm, [int(s) for s in z["source_doc"]], index.paths, mcfg)
-        n_qg = len(qg_ts)
-        train_set = TrainSet.concat([train_set, qg_ts])
-        print(f"merged {n_qg} qg pseudo-queries "
-              f"(train set now {len(train_set)})")
+    if "doc" in wanted or "aug" in wanted:
+        from gdr_tpu.data.dataset import build_doc_query_sets
+        if not args.corpus:
+            raise ValueError(f"--query-type {query_type} needs --corpus "
+                             "(doc/aug sources derive from document text)")
+        _, doc_texts_q = _read_corpus_tsv(args.corpus)
+        dq = dataclasses.replace(dcfg, max_input_length=args.max_input_length)
+        sources.update(build_doc_query_sets(
+            doc_texts_q, index.paths, tok, mcfg, dq,
+            rng=np.random.default_rng(args.seed)))
+    if query_type != "gtq":
+        from gdr_tpu.data.dataset import mix_sources
+        train_set = mix_sources(query_type, **sources)
+        print("train set: " + " + ".join(
+            f"{len(sources[w])} {w}" for w in wanted)
+            + f" = {len(train_set)} rows")
 
     # stage 2 (live doc tower, ref two-stage switch main_models.py:1910-1917)
     # becomes reachable when the corpus text is provided: the docs are
@@ -410,7 +431,10 @@ def cmd_eval(args) -> None:
                           mesh=_mesh_from_flag(args.mesh),
                           packed=args.packed, use_pallas=args.pallas,
                           quantize=args.int8_store)
-    out = evaluator.evaluate(params, dev, batch_size=args.eval_batch_size)
+    out = evaluator.evaluate(params, dev, batch_size=args.eval_batch_size,
+                             result_tsv=args.result_tsv)
+    if args.result_tsv:
+        print(f"wrote result TSV → {args.result_tsv}")
     print(json.dumps(out, indent=2, sort_keys=True))
 
 
@@ -536,6 +560,70 @@ def cmd_qg(args) -> None:
           f"({args.n_per_doc}/doc × {len(texts)} docs) → {args.out}")
 
 
+def cmd_ingest(args) -> None:
+    """Raw data → the corpus/train/dev TSVs that `index`/`train` consume.
+
+    Replaces the reference's one-shot scripts (NQ_process.py:112-134 for
+    simplified NQ jsonl, generate_training_data.py:26-201 for the 334k
+    pickle corpus) with one command; together with `tokenizer`/`index`/
+    `train`/`eval` this closes the raw-NQ → recall-numbers chain with no
+    Python required.
+    """
+    from gdr_tpu.data.corpus import (corpus_from_records, ingest_nq_splits,
+                                     queries_from_records)
+
+    if bool(args.nq_jsonl) == bool(args.corpus_pickle):
+        raise ValueError("pass exactly one of --nq-jsonl / --corpus-pickle")
+    if args.corpus_pickle and not args.train_pickle:
+        raise ValueError("--corpus-pickle requires --train-pickle")
+
+    if args.nq_jsonl:
+        corpus, train_q, dev_q = ingest_nq_splits(
+            args.nq_jsonl, args.dev_jsonl, max_records=args.max_records)
+    else:
+        import pickle
+        with open(args.corpus_pickle, "rb") as fh:
+            corpus, title_to_id = corpus_from_records(pickle.load(fh))
+        with open(args.train_pickle, "rb") as fh:
+            train_q = queries_from_records(pickle.load(fh), title_to_id)
+        dev_q = None
+        if args.dev_pickle:
+            with open(args.dev_pickle, "rb") as fh:
+                dev_q = queries_from_records(pickle.load(fh), title_to_id)
+
+    if dev_q is None and args.dev_frac > 0:
+        # no dev file: hold out the tail (queries only — the corpus stays
+        # whole so retrieval still runs over every document)
+        n_dev = max(1, int(len(train_q.queries) * args.dev_frac))
+        from gdr_tpu.data.corpus import QuerySet
+        dev_q = QuerySet(queries=train_q.queries[-n_dev:],
+                         doc_ids=train_q.doc_ids[-n_dev:])
+        train_q = QuerySet(queries=train_q.queries[:-n_dev],
+                           doc_ids=train_q.doc_ids[:-n_dev])
+
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    def _clean(s: str) -> str:          # TSV-safe single-line fields
+        return s.replace("\t", " ").replace("\n", " ")
+
+    with open(os.path.join(args.out_dir, "corpus.tsv"), "w") as fh:
+        for t, x in zip(corpus.titles, corpus.texts):
+            fh.write(f"{_clean(t)}\t{_clean(x)}\n")
+
+    def _write_queries(name: str, qs) -> None:
+        with open(os.path.join(args.out_dir, name), "w") as fh:
+            for q, ds in zip(qs.queries, qs.doc_ids):
+                fh.write(f"{_clean(q)}\t{','.join(str(d) for d in ds)}\n")
+
+    _write_queries("train.tsv", train_q)
+    if dev_q is not None:
+        _write_queries("dev.tsv", dev_q)
+    print(f"ingest: {len(corpus.titles)} docs, {len(train_q.queries)} train"
+          + (f", {len(dev_q.queries)} dev" if dev_q is not None else "")
+          + f" → {args.out_dir}/{{corpus,train"
+          + (",dev" if dev_q is not None else "") + "}.tsv")
+
+
 def cmd_calculate(args) -> None:
     from gdr_tpu.eval.offline import calculate
     print(json.dumps(calculate(args.result), indent=2, sort_keys=True))
@@ -651,6 +739,12 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--qg", default=None,
                     help=".npz of generated pseudo-queries (from the `qg` "
                          "subcommand) to merge into the train set")
+    pt.add_argument("--query-type", default=None,
+                    help="underscore-joined train-query mix of gtq (ground "
+                         "truth), qg (needs --qg), doc, aug (both need "
+                         "--corpus), e.g. gtq_qg_doc_aug (ref --query_type, "
+                         "main_utils.py:146-223); default gtq, or gtq_qg "
+                         "when --qg is given")
     pt.add_argument("--ensemble", type=int, default=1,
                     help="train N decoders over N docid assignments "
                          "(ref --multiple_decoder)")
@@ -695,6 +789,10 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--int8-store", action="store_true",
                     help="hold the doc-embedding store as per-row int8 "
                          "(4x smaller; dequantising dot in the re-rank)")
+    pe.add_argument("--result-tsv", default=None,
+                    help="also write the reference-compatible res1 TSV "
+                         "(query, preds, gts, rank) the `calculate` "
+                         "subcommand consumes (ref main.py:244-247)")
     pe.add_argument("--mesh", default="none",
                     help="device mesh for the sharded-store re-rank: "
                          "'none', 'auto', or 'DP,MP'")
@@ -718,6 +816,27 @@ def build_parser() -> argparse.ArgumentParser:
     pc = sub.add_parser("calculate", help="offline metrics from result TSV")
     pc.add_argument("--result", required=True)
     pc.set_defaults(fn=cmd_calculate)
+
+    pn = sub.add_parser("ingest", help="raw NQ jsonl / pickle corpus → "
+                                       "corpus.tsv + train/dev TSVs")
+    pn.add_argument("--nq-jsonl", default=None,
+                    help="simplified NQ train jsonl(.gz) "
+                         "(ref NQ_process.py:112-134)")
+    pn.add_argument("--dev-jsonl", default=None,
+                    help="simplified NQ dev jsonl(.gz); shares the train "
+                         "corpus' doc-id table")
+    pn.add_argument("--max-records", type=int, default=None)
+    pn.add_argument("--corpus-pickle", default=None,
+                    help="pickled [{'title','text'}] corpus "
+                         "(ref generate_training_data.py:26-201)")
+    pn.add_argument("--train-pickle", default=None,
+                    help="pickled [{'query','positive_passages'}] records")
+    pn.add_argument("--dev-pickle", default=None)
+    pn.add_argument("--dev-frac", type=float, default=0.0,
+                    help="with no dev file: hold out this query fraction "
+                         "as dev.tsv")
+    pn.add_argument("--out-dir", required=True)
+    pn.set_defaults(fn=cmd_ingest)
 
     pq = sub.add_parser("qg", help="generate pseudo-queries per doc "
                                    "(in-framework docTTTTTquery)")

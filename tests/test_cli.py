@@ -215,3 +215,93 @@ def test_cli_hierarchic(world, capsys):
     assert "cluster_recall1" in metrics
     assert np.isfinite(metrics["final_loss"])
     assert os.path.exists(tmp / "run_h" / "hierarchic.msgpack")
+
+
+def test_cli_ingest_nq(tmp_path, capsys):
+    """ingest --nq-jsonl (+dev sharing the corpus table) → TSVs the rest of
+    the chain parses (ref NQ_process.py:112-134)."""
+    import gzip
+    recs = [{"document_title": f"T{i % 4}",
+             "document_text": f"Body of document {i % 4} with words\tand tab",
+             "question_text": f"what is doc {i}?"} for i in range(8)]
+    with gzip.open(tmp_path / "train.jsonl.gz", "wt") as fh:
+        for r in recs:
+            fh.write(json.dumps(r) + "\n")
+    dev_recs = [{"document_title": "T1", "document_text": "Body 1",
+                 "question_text": "dev q one"},
+                {"document_title": "Tnew", "document_text": "unseen doc",
+                 "question_text": "dev q two"}]
+    with open(tmp_path / "dev.jsonl", "w") as fh:
+        for r in dev_recs:
+            fh.write(json.dumps(r) + "\n")
+
+    cli.main(["ingest", "--nq-jsonl", str(tmp_path / "train.jsonl.gz"),
+              "--dev-jsonl", str(tmp_path / "dev.jsonl"),
+              "--out-dir", str(tmp_path / "data")])
+    out = capsys.readouterr().out
+    assert "5 docs" in out and "8 train" in out and "2 dev" in out
+
+    titles, texts = cli._read_corpus_tsv(str(tmp_path / "data/corpus.tsv"))
+    assert titles == ["T0", "T1", "T2", "T3", "Tnew"]  # dev doc appended
+    assert "\t" not in texts[0]
+    tq, tpos = cli._read_query_tsv(str(tmp_path / "data/train.tsv"))
+    assert len(tq) == 8 and tpos[5] == [1]             # doc ids consistent
+    dq, dpos = cli._read_query_tsv(str(tmp_path / "data/dev.tsv"))
+    assert dpos == [[1], [4]]                          # T1 reused, Tnew new
+
+
+def test_cli_ingest_pickle_and_dev_frac(tmp_path, capsys):
+    """ingest --corpus-pickle with multi-positive rows; --dev-frac split."""
+    import pickle
+    corpus = [{"title": f"T{i}", "text": f"text {i}"} for i in range(6)]
+    train = [{"query": f"q{i}",
+              "positive_passages": [{"title": f"T{i}"},
+                                    {"title": f"T{(i + 1) % 6}"}]}
+             for i in range(10)]
+    with open(tmp_path / "c.pkl", "wb") as fh:
+        pickle.dump(corpus, fh)
+    with open(tmp_path / "t.pkl", "wb") as fh:
+        pickle.dump(train, fh)
+    cli.main(["ingest", "--corpus-pickle", str(tmp_path / "c.pkl"),
+              "--train-pickle", str(tmp_path / "t.pkl"),
+              "--dev-frac", "0.2", "--out-dir", str(tmp_path / "data")])
+    out = capsys.readouterr().out
+    assert "6 docs" in out and "8 train" in out and "2 dev" in out
+    tq, tpos = cli._read_query_tsv(str(tmp_path / "data/train.tsv"))
+    assert tpos[0] == [0, 1]                           # multi-positive row
+    dq, _ = cli._read_query_tsv(str(tmp_path / "data/dev.tsv"))
+    assert dq == ["q8", "q9"]
+
+
+def test_cli_query_type_mix_and_result_tsv(world, capsys, tmp_path):
+    """`train --query-type gtq_doc_aug` mixes document-side pseudo-queries
+    (ref main_utils.py:146-223); `eval --result-tsv` writes the res1 file
+    `calculate` consumes (ref main.py:244-247)."""
+    tmp = world
+    assert os.path.exists(tmp / "index.npz"), "runs after the index test"
+    cli.main(["train", "--index", str(tmp / "index.npz"),
+              "--train", str(tmp / "train.tsv"), "--dev", str(tmp / "dev.tsv"),
+              "--workdir", str(tmp_path / "run_mix"), "--model-size", "tiny",
+              "--kary", "3", "--max-output-length", "5",
+              "--max-input-length", "12", "--batch-size", "6",
+              "--epochs", "1", "--beam", "4", "--adaptor-layers", "1",
+              "--corpus", str(tmp / "docs.tsv"),
+              "--query-type", "gtq_doc_aug"])
+    out = capsys.readouterr().out
+    assert "18 gtq + 18 doc" in out and "aug" in out
+
+    res = str(tmp_path / "res1.tsv")
+    cli.main(["eval", "--index", str(tmp / "index.npz"),
+              "--dev", str(tmp / "dev.tsv"),
+              "--workdir", str(tmp_path / "run_mix"),
+              "--model-size", "tiny", "--kary", "3",
+              "--max-output-length", "5", "--max-input-length", "12",
+              "--beam", "4", "--eval-batch-size", "6",
+              "--adaptor-layers", "1", "--result-tsv", res])
+    out = capsys.readouterr().out
+    online = json.loads(out[out.index("{"):])
+    cli.main(["calculate", "--result", res])
+    out = capsys.readouterr().out
+    offline = json.loads(out[out.index("{"):])
+    # offline metrics recomputed from the TSV must agree with the online run
+    assert abs(offline["recall1"] - online["recall1"]) < 1e-9
