@@ -887,6 +887,44 @@ def main() -> None:
         extra["pallas_xla_id_match"] = round(id_match, 4)
         emit()
 
+    if not tiny and remaining_s() > 420:
+        # int8 packed re-rank (the memory-pressure configuration): same
+        # store quantized per-row into the 32-aligned packed layout, scored
+        # through the int8 streaming kernel — report store bytes, top-doc
+        # agreement with the fp-packed path, and throughput at the same
+        # operating point
+        try:
+            ev_q = Evaluator(model, trie, store, ev_cfg, packed=True,
+                             use_pallas=True, quantize=True)
+            rq, rrq = ev_q.retrieve_many(params, input_ids, attn)
+            materialize(rq, rrq)
+            rf, rrf = evaluator.retrieve_many(params, input_ids, attn)
+            materialize(rf, rrf)
+            q_match = float((np.asarray(rrq.doc_ids)[..., 0]
+                             == np.asarray(rrf.doc_ids)[..., 0]).mean())
+            t0 = time.perf_counter()
+            inflight_q = [ev_q.retrieve_many(params, qq, attn)
+                          for qq in queries]
+            for rq, rrq in inflight_q:
+                materialize(rq, rrq)
+            qps_int8 = iters * group * qbatch / (time.perf_counter() - t0)
+            bytes_fp = int(np.prod(store.shape)) * store.dtype.itemsize
+            bytes_q = (int(np.prod(ev_q.store.values.shape))
+                       + int(ev_q.store.scales.size) * 4)
+            log(f"int8 packed re-rank: {qps_int8:.1f} q/s, top1 agreement "
+                f"{q_match:.4f} vs fp packed, store {bytes_q/1e6:.0f} MB "
+                f"vs {bytes_fp/1e6:.0f} MB")
+            extra["int8_packed_qps"] = round(qps_int8, 1)
+            extra["int8_packed_top1_agreement"] = round(q_match, 4)
+            extra["int8_store_mb"] = round(bytes_q / 1e6)
+            emit()
+            del ev_q, inflight_q
+        except Exception as e:
+            log(f"int8 packed phase skipped ({type(e).__name__}: {e})")
+            _SKIPPED.append("int8_packed")
+    elif not tiny:
+        _SKIPPED.append("int8_packed")
+
     if not tiny and remaining_s() > 240:
         # index build: on-device hierarchical k-means over the same 334k
         # store (the reference's slowest offline step — recursive sklearn

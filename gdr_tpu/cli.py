@@ -788,7 +788,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "benchmarks/hw_preflight.py before enabling)")
     pe.add_argument("--int8-store", action="store_true",
                     help="hold the doc-embedding store as per-row int8 "
-                         "(4x smaller; dequantising dot in the re-rank)")
+                         "(4x smaller; dequantising dot in the re-rank). "
+                         "Composes with --packed, --pallas (int8 streaming "
+                         "kernel) and --mesh (requires --packed)")
     pe.add_argument("--result-tsv", default=None,
                     help="also write the reference-compatible res1 TSV "
                          "(query, preds, gts, rank) the `calculate` "

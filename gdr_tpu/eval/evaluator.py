@@ -63,15 +63,19 @@ class Evaluator:
         self.packed = packed
         self.use_pallas = use_pallas
         self.quantize = quantize
-        if quantize and (packed or mesh is not None or use_pallas):
-            raise ValueError("quantize=True supports the plain single-device "
-                             "re-rank only (not packed/mesh/pallas)")
+        if quantize and mesh is not None and not packed:
+            raise ValueError("quantize=True with a mesh needs packed=True "
+                             "(the shard-aware int8 layout; the non-packed "
+                             "sharded re-rank has no quantized variant)")
+        # int8 HBM tiles pack 4 rows per sublane: the Pallas int8 kernel's
+        # dynamic-slice starts must be 32-row aligned (fp32/bf16 need 8)
+        align = 32 if quantize else 8
         if packed and mesh is not None:
             # distributed packed re-rank: shard-aware layout (whole clusters
             # per shard) + contiguous-slice local scoring + tiny top-R merge
             from gdr_tpu.ops.packed_store import pack_layout_sharded
             starts, counts, row_to_doc, cap, shard_rows = \
-                pack_layout_sharded(trie, mesh.devices.size)
+                pack_layout_sharded(trie, mesh.devices.size, align=align)
             self._p_starts = jnp.asarray(starts)
             self._p_counts = jnp.asarray(counts)
             self._p_row_to_doc = jnp.asarray(row_to_doc)
@@ -79,7 +83,7 @@ class Evaluator:
             self._p_shard_rows = shard_rows
         elif packed:
             from gdr_tpu.ops.packed_store import pack_layout
-            starts, counts, row_to_doc, cap = pack_layout(trie)
+            starts, counts, row_to_doc, cap = pack_layout(trie, align=align)
             self._p_starts = jnp.asarray(starts)
             self._p_counts = jnp.asarray(counts)
             self._p_row_to_doc = jnp.asarray(row_to_doc)
@@ -136,7 +140,15 @@ class Evaluator:
         stage-2 training loop calls this after every store refresh — a bare
         ``evaluator.store = new_store`` would silently hand an UNPACKED
         array to the packed re-rank."""
-        if self.packed and self.mesh is not None:
+        if self.packed and self.quantize:
+            from gdr_tpu.ops.quantize import pack_quantized_rows
+            qs = pack_quantized_rows(store, self._p_row_to_doc)
+            if self.mesh is not None:
+                from gdr_tpu.parallel.store import place_packed_store
+                qs = place_packed_store(
+                    jax.tree_util.tree_map(np.asarray, qs), self.mesh)
+            self.store = qs
+        elif self.packed and self.mesh is not None:
             from gdr_tpu.ops.packed_store import pack_rows
             from gdr_tpu.parallel.store import place_packed_store
             self.store = place_packed_store(

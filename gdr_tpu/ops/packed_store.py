@@ -40,11 +40,16 @@ class PackedStore:
         return self.rows.shape[0]
 
 
-def pack_layout(trie: TrieTensors, cap: int | None = None
+def pack_layout(trie: TrieTensors, cap: int | None = None,
+                align: int = ALIGN
                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     """Compute the packed layout from the trie alone (host, no embeddings).
 
-    Returns (starts [C], counts [C], row_to_doc [M], cap)."""
+    ``align``: row alignment of every cluster block start and of ``cap``
+    (default 8 = Mosaic's fp32/bf16 sublane tile; int8 stores need 32 —
+    int8 packs 4 rows per sublane, so HBM dynamic-slice starts must be
+    32-row aligned).  Returns (starts [C], counts [C], row_to_doc [M],
+    cap)."""
     c = trie.num_clusters
     counts = np.zeros(c, np.int32)
     starts = np.zeros(c, np.int32)
@@ -54,9 +59,9 @@ def pack_layout(trie: TrieTensors, cap: int | None = None
         cnt = int(trie.doc_count[node])
         counts[row] = cnt
         starts[row] = cursor
-        cursor += -(-cnt // ALIGN) * ALIGN
+        cursor += -(-cnt // align) * align
         max_count = max(max_count, cnt)
-    cap = cap or max(-(-max_count // ALIGN) * ALIGN, ALIGN)
+    cap = cap or max(-(-max_count // align) * align, align)
     m = cursor + cap            # tail margin so start+cap never overruns
     row_to_doc = np.full(m, -1, np.int32)
     for row, node in enumerate(trie.cluster_node_ids):
@@ -90,7 +95,7 @@ def pack_store_by_cluster(trie: TrieTensors, store: np.ndarray,
 
 
 def pack_layout_sharded(trie: TrieTensors, n_shards: int,
-                        cap: int | None = None
+                        cap: int | None = None, align: int = ALIGN
                         ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
                                    int, int]:
     """Shard-aware packed layout: every cluster's contiguous block lives
@@ -112,9 +117,9 @@ def pack_layout_sharded(trie: TrieTensors, n_shards: int,
     for row, node in enumerate(trie.cluster_node_ids):
         cnt = int(trie.doc_count[node])
         counts[row] = cnt
-        padded[row] = -(-max(cnt, 1) // ALIGN) * ALIGN
+        padded[row] = -(-max(cnt, 1) // align) * align
     max_count = int(counts.max()) if c else 0
-    cap = cap or max(-(-max_count // ALIGN) * ALIGN, ALIGN)
+    cap = cap or max(-(-max_count // align) * align, align)
     loads = np.zeros(n_shards, np.int64)
     bin_of = np.zeros(c, np.int32)
     offset = np.zeros(c, np.int64)
@@ -123,7 +128,7 @@ def pack_layout_sharded(trie: TrieTensors, n_shards: int,
         bin_of[r] = b
         offset[r] = loads[b]
         loads[b] += padded[r]
-    shard_rows = int(-(-(int(loads.max()) + cap) // ALIGN) * ALIGN)
+    shard_rows = int(-(-(int(loads.max()) + cap) // align) * align)
     starts = (bin_of.astype(np.int64) * shard_rows + offset).astype(np.int32)
     m = n_shards * shard_rows
     row_to_doc = np.full(m, -1, np.int32)

@@ -140,6 +140,70 @@ def packed_scores_pallas(rows: Array, starts: Array, query_rows: Array,
     return out[:r]
 
 
+def _packed_kernel_int8(starts_ref, q_ref, store_ref, out_ref, scratch, sems,
+                        *, cap: int):
+    """Int8 variant of ``_packed_kernel``: streams [cap, d] *int8* cluster
+    blocks (4× less DMA than fp32) and emits the RAW dot — the per-row
+    dequantising scale and the tanh apply in the caller, where the packed
+    scales are a cheap [R·cap] scalar gather.  Int8 HBM tiles pack 4 rows
+    per sublane, so block starts are 32-row aligned (pack_layout align=32).
+    """
+    i = pl.program_id(0)
+
+    def dma(row):
+        start = pl.multiple_of(starts_ref[i * ROWS_PER_BLOCK + row], 32)
+        return pltpu.make_async_copy(store_ref.at[pl.ds(start, cap)],
+                                     scratch.at[row], sems.at[row])
+
+    for row in range(ROWS_PER_BLOCK):
+        dma(row).start()
+    for row in range(ROWS_PER_BLOCK):
+        dma(row).wait()
+        block = scratch[row].astype(jnp.float32)           # [cap, d]
+        q = q_ref[row, :].astype(jnp.float32)              # [d]
+        out_ref[row, :] = jnp.sum(block * q[None, :], axis=1)
+
+
+def packed_scores_pallas_int8(values: Array, starts: Array,
+                              query_rows: Array, cap: int,
+                              interpret: bool = False) -> Array:
+    """raw[r, c] = q[r] · values[starts[r] + c] over the int8 packed store.
+
+    Returns the UNSCALED integer dot as float32 — callers multiply by the
+    per-row scale and squash (ops/rerank.rerank_packed int8 path).
+    ``starts`` must be 32-row aligned (pack_layout(..., align=32))."""
+    assert values.dtype == jnp.int8, values.dtype
+    r, d = query_rows.shape
+    pad_r = (-r) % ROWS_PER_BLOCK
+    if pad_r:
+        starts = jnp.pad(starts, (0, pad_r))
+        query_rows = jnp.pad(query_rows, ((0, pad_r), (0, 0)))
+    r_p = r + pad_r
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(r_p // ROWS_PER_BLOCK,),
+        in_specs=[
+            pl.BlockSpec((ROWS_PER_BLOCK, d), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),              # int8 store HBM
+        ],
+        out_specs=pl.BlockSpec((ROWS_PER_BLOCK, cap), lambda i, s: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((ROWS_PER_BLOCK, cap, d), jnp.int8),
+            pltpu.SemaphoreType.DMA((ROWS_PER_BLOCK,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_packed_kernel_int8, cap=cap),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((r_p, cap), jnp.float32),
+        interpret=interpret,
+    )(starts.astype(jnp.int32), query_rows, values)
+    return out[:r]
+
+
 def rerank_scores_pallas(store: Array, docs: Array, query_rows: Array,
                         mask: Array, chunk: int = 8,
                         interpret: bool = False) -> Array:

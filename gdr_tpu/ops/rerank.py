@@ -168,7 +168,26 @@ def rerank_packed(packed_rows: Array, packed_starts: Array,
     else:
         q_bk = query_emb
 
-    if use_pallas and squash == "tanh" and _pallas_ok(
+    from gdr_tpu.ops.quantize import PackedQuantizedStore
+    if isinstance(packed_rows, PackedQuantizedStore):
+        # int8 packed rows: raw integer dot (Pallas streams int8 blocks —
+        # 4× less DMA; XLA fallback gathers int8), then the per-row
+        # dequantising scale and the squash apply on [B, K, cap] scalars
+        idx = start[..., None] + jnp.arange(cap)[None, None, :]
+        if use_pallas and squash == "tanh" and _pallas_ok(
+                packed_rows.shape[-1], pallas_interpret):
+            from gdr_tpu.ops.pallas.rerank_kernel import (
+                packed_scores_pallas_int8)
+            raw = packed_scores_pallas_int8(
+                packed_rows.values, start.reshape(-1),
+                q_bk.reshape(b * k, -1), cap,
+                interpret=pallas_interpret).reshape(b, k, cap)
+        else:
+            v = packed_rows.values[idx.reshape(b, -1)].reshape(b, k, cap, -1)
+            raw = jnp.einsum("bkd,bkcd->bkc", q_bk.astype(jnp.float32),
+                             v.astype(jnp.float32))
+        sim = fn(raw * packed_rows.scales[idx])
+    elif use_pallas and squash == "tanh" and _pallas_ok(
             packed_rows.shape[-1], pallas_interpret):
         from gdr_tpu.ops.pallas.rerank_kernel import packed_scores_pallas
         sim = packed_scores_pallas(packed_rows, start.reshape(-1),

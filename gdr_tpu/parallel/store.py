@@ -117,13 +117,22 @@ def sharded_rerank_from_beams(mesh: Mesh, store: Array, query_emb: Array,
                         cluster_probs=probs)
 
 
-def place_packed_store(rows: np.ndarray, mesh: Mesh) -> Array:
+def place_packed_store(rows, mesh: Mesh):
     """Place a shard-aware packed store (ops/packed_store.pack_layout_sharded
-    rows — already an exact multiple of the mesh size) row-sharded."""
+    rows — already an exact multiple of the mesh size) row-sharded.  Accepts
+    a plain [M, d] array or a PackedQuantizedStore (values + scales each
+    row-sharded)."""
+    from gdr_tpu.ops.quantize import PackedQuantizedStore
+    sh = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+    if isinstance(rows, PackedQuantizedStore):
+        assert rows.values.shape[0] % mesh.devices.size == 0, (
+            rows.values.shape, mesh.devices.size)
+        return PackedQuantizedStore(
+            values=jax.device_put(rows.values, sh),
+            scales=jax.device_put(rows.scales, sh))
     assert rows.shape[0] % mesh.devices.size == 0, (
         rows.shape, mesh.devices.size)
-    return jax.device_put(
-        rows, NamedSharding(mesh, P(tuple(mesh.axis_names))))
+    return jax.device_put(rows, sh)
 
 
 def sharded_rerank_packed(mesh: Mesh, packed_rows: Array, starts: Array,
@@ -149,10 +158,13 @@ def sharded_rerank_packed(mesh: Mesh, packed_rows: Array, starts: Array,
     serves each shard; ``pallas_interpret`` runs it in interpreter mode for
     virtual-CPU meshes.
     """
+    from gdr_tpu.ops.quantize import PackedQuantizedStore
+    quantized = isinstance(packed_rows, PackedQuantizedStore)
     fn = jnp.tanh if squash == "tanh" else jax.nn.sigmoid
     axes = tuple(mesh.axis_names)
     n_shards = mesh.devices.size
-    assert packed_rows.shape[0] == n_shards * shard_rows
+    n_rows = (packed_rows.values if quantized else packed_rows).shape[0]
+    assert n_rows == n_shards * shard_rows
     a = alphas.shape[0]
     b, k = nodes.shape
     rows = cluster_of_node[nodes]                            # [B, K]
@@ -167,24 +179,37 @@ def sharded_rerank_packed(mesh: Mesh, packed_rows: Array, starts: Array,
                                      (b, k, query_emb.shape[-1]))
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(axes), P(), P(), P(), P(), P(), P()),
+             in_specs=(P(axes), P(axes), P(), P(), P(), P(), P(), P()),
              out_specs=(P(), P()), check_vma=False)
-    def impl(store_local, q, start, count, ok, probs, alphas):
+    def impl(store_local, scales_local, q, start, count, ok, probs, alphas):
         store_local = store_local.reshape(shard_rows, -1)
         shard = jax.lax.axis_index(axes)
         owned = ok & (start // shard_rows == shard)
         local = jnp.clip(start - shard * shard_rows, 0,
                          shard_rows - cap)                   # [B, K]
+        idx = (local[..., None]
+               + jnp.arange(cap)[None, None])                # contiguous
         from gdr_tpu.ops.rerank import _pallas_ok
-        if use_pallas and squash == "tanh" and _pallas_ok(
-                store_local.shape[-1], pallas_interpret):
+        pallas_fits = (use_pallas and squash == "tanh" and _pallas_ok(
+            store_local.shape[-1], pallas_interpret))
+        if quantized and pallas_fits:
+            from gdr_tpu.ops.pallas.rerank_kernel import (
+                packed_scores_pallas_int8)
+            raw = packed_scores_pallas_int8(
+                store_local, local.reshape(-1), q.reshape(b * k, -1), cap,
+                interpret=pallas_interpret).reshape(b, k, cap)
+            sim = fn(raw * scales_local.reshape(-1)[idx])
+        elif quantized:
+            v = store_local[idx.reshape(b, -1)].reshape(b, k, cap, -1)
+            raw = jnp.einsum("bkd,bkcd->bkc", q.astype(jnp.float32),
+                             v.astype(jnp.float32))
+            sim = fn(raw * scales_local.reshape(-1)[idx])
+        elif pallas_fits:
             from gdr_tpu.ops.pallas.rerank_kernel import packed_scores_pallas
             sim = packed_scores_pallas(
                 store_local, local.reshape(-1), q.reshape(b * k, -1), cap,
                 interpret=pallas_interpret).reshape(b, k, cap)
         else:
-            idx = (local[..., None]
-                   + jnp.arange(cap)[None, None])            # contiguous
             emb = store_local[idx.reshape(b, -1)].reshape(b, k, cap, -1)
             sim = fn(jnp.einsum("bkd,bkcd->bkc", q.astype(jnp.float32),
                                 emb.astype(jnp.float32)))
@@ -206,7 +231,13 @@ def sharded_rerank_packed(mesh: Mesh, packed_rows: Array, starts: Array,
         m_scores, m_rows = padded_top_k(g_scores, g_rows, top_r)
         return m_rows, m_scores
 
-    top_rows, top_scores = impl(packed_rows, query_emb, start, count, ok,
+    if quantized:
+        values, scales = packed_rows.values, packed_rows.scales
+    else:
+        values = packed_rows
+        # dummy per-row scales (unused branch must still shard-map cleanly)
+        scales = jnp.ones((n_rows,), jnp.float32)
+    top_rows, top_scores = impl(values, scales, query_emb, start, count, ok,
                                 probs, alphas)
     top_docs = row_to_doc[top_rows]                          # replicated map
     from gdr_tpu.ops.rerank import RerankResult

@@ -198,7 +198,12 @@ def test_quantized_store_evaluator(trained):
     match = (np.asarray(rr_fp.doc_ids) == np.asarray(rr_q.doc_ids))[
         np.asarray(rr_fp.doc_valid)].mean()
     assert match > 0.9, match      # int8 noise may swap near-ties only
-    import pytest
-    with pytest.raises(ValueError):
-        Evaluator(model, task.trie, task.store, ev_cfg, quantize=True,
-                  packed=True)
+    # quantize × packed composes (round-4; layout/kernel parity in
+    # tests/test_quantize.py) — top docs agree with the unpacked int8 run
+    ev_qp = Evaluator(model, task.trie, task.store, ev_cfg, quantize=True,
+                      packed=True)
+    _, rr_qp = ev_qp.retrieve(state.params["generator"],
+                              task.input_ids[:8], task.attn_mask[:8])
+    match_p = (np.asarray(rr_qp.doc_ids) == np.asarray(rr_q.doc_ids))[
+        np.asarray(rr_q.doc_valid)].mean()
+    assert match_p > 0.9, match_p
