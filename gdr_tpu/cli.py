@@ -230,7 +230,9 @@ def cmd_train(args) -> None:
         train_ensemble(mcfg, index, train_set, num_decoders=args.ensemble,
                        epochs=args.epochs, lr=args.lr,
                        batch_size=args.batch_size, workdir=args.workdir,
-                       seed=args.seed, leaf_cap=args.leaf_cap)
+                       seed=args.seed, leaf_cap=args.leaf_cap,
+                       decoder_lr=args.decoder_lr, rdrop=mcfg.rdrop,
+                       rdrop_loss=mcfg.rdrop_loss)
         out = eval_ensemble(mcfg, index, dev, args.workdir,
                             num_decoders=args.ensemble, beam=args.beam)
         print(json.dumps(out, indent=2, sort_keys=True))
@@ -240,7 +242,8 @@ def cmd_train(args) -> None:
         out = train_eval_hierarchic(mcfg, index, train_set, dev,
                                     epochs=args.epochs, lr=args.lr,
                                     batch_size=args.batch_size,
-                                    workdir=args.workdir, seed=args.seed)
+                                    workdir=args.workdir, seed=args.seed,
+                                    beam=args.beam)
         print(json.dumps(out, indent=2, sort_keys=True))
         return
     if args.softmax:

@@ -59,32 +59,54 @@ def init_ensemble(model: GenerativeRetriever, rng: Array, num_decoders: int,
 def ensemble_logits(model: GenerativeRetriever, enc_side: dict,
                     dec_stacked: Any, input_ids: Array, attn_mask: Array,
                     labels: Array, label_mask: Array,
-                    deterministic: bool = True) -> Array:
-    """Teacher-forced logits for every ensemble member: [N, B, L, V].
+                    deterministic: bool = True, rng: Array | None = None,
+                    return_hidden: bool = False):
+    """Teacher-forced logits for every ensemble member: [N, B, L, V]
+    (with ``return_hidden``: also the decoder hiddens [N, B, L, d]).
 
-    The encoder runs once; decoders are vmapped over the stacked params.
+    The encoder runs once; decoders are vmapped over the stacked params
+    (each member drawing independent dropout noise when ``rng`` is given).
     ``labels``: [N, B, L] — each member learns its own docid assignment.
     """
+    n = labels.shape[0]
+    if rng is not None:
+        rng_enc, rng_dec = jax.random.split(rng)
+        enc_rngs = {"dropout": rng_enc}
+        member_rngs = jax.random.split(rng_dec, n)
     enc = model.apply(merge_params(enc_side, _index(dec_stacked, 0)),
-                      input_ids, attn_mask, method=model.encode,
-                      rngs=None)
+                      input_ids, attn_mask, deterministic,
+                      method=model.encode,
+                      rngs=enc_rngs if rng is not None else None)
 
-    def one(dec_side, labels_i, label_mask_i):
+    def one(dec_side, labels_i, label_mask_i, r=None):
         params = merge_params(enc_side, dec_side)
         dec_in = shift_right(labels_i)
-        logits, _ = model.apply(params, enc, attn_mask, dec_in, label_mask_i,
-                                deterministic, method=model.decode_logits)
-        return logits
+        logits, hidden = model.apply(
+            params, enc, attn_mask, dec_in, label_mask_i, deterministic,
+            method=model.decode_logits,
+            rngs={"dropout": r} if r is not None else None)
+        return logits, hidden
 
-    return jax.vmap(one, in_axes=(0, 0, 0))(dec_stacked, labels, label_mask)
+    if rng is not None:
+        logits, hidden = jax.vmap(one, in_axes=(0, 0, 0, 0))(
+            dec_stacked, labels, label_mask, member_rngs)
+    else:
+        logits, hidden = jax.vmap(one, in_axes=(0, 0, 0))(
+            dec_stacked, labels, label_mask)
+    return (logits, hidden) if return_hidden else logits
 
 
-def make_ensemble_train_step(model: GenerativeRetriever, opt):
+def make_ensemble_train_step(model: GenerativeRetriever, opt,
+                             rdrop: float = 0.0, rdrop_loss: str = "Contrast"):
     """Jitted CID-generation training over all ensemble members at once.
 
     The reference iterates ``_step_i`` per decoder with per-decoder targets
-    (main_models.py:1065-1069, dataset target lists at :497-500); here the
-    members' CE losses compute in one vmapped program and average.
+    (main_models.py:1065-1069, dataset target lists at :497-500) through the
+    SAME T5FineTuner loss machinery as the main path — R-Drop batch
+    duplication included (main_models.py:925-944); here the members' losses
+    compute in one vmapped program and average.  ``rdrop`` > 0 enables the
+    duplicated-batch consistency term per member (Contrast/KL/L2 as in
+    trainer.py; the step then takes an rng argument).
 
     Batch: input_ids/attn_mask [B, S]; labels/label_mask [N, B, L]
     (one docid assignment per member).  Params: {"enc": enc_side,
@@ -92,20 +114,42 @@ def make_ensemble_train_step(model: GenerativeRetriever, opt):
     """
     import optax
 
-    from gdr_tpu.ops.losses import masked_cross_entropy
+    from gdr_tpu.ops import losses as LS
 
-    def loss_fn(params, batch):
-        logits = ensemble_logits(model, params["enc"], params["dec"],
-                                 batch["input_ids"], batch["attn_mask"],
-                                 batch["labels"], batch["label_mask"])
-        losses = jax.vmap(masked_cross_entropy)(
-            logits, batch["labels"], batch["label_mask"])
-        return losses.mean(), losses
+    def loss_fn(params, batch, rng=None):
+        if rdrop > 0 and rng is None:
+            raise ValueError("rdrop > 0 needs an rng: the consistency term "
+                             "compares two dropout realisations")
+        input_ids, attn = batch["input_ids"], batch["attn_mask"]
+        labels, lmask = batch["labels"], batch["label_mask"]
+        if rdrop > 0:
+            input_ids = jnp.concatenate([input_ids] * 2, axis=0)
+            attn = jnp.concatenate([attn] * 2, axis=0)
+            labels = jnp.concatenate([labels] * 2, axis=1)
+            lmask = jnp.concatenate([lmask] * 2, axis=1)
+        logits, hidden = ensemble_logits(
+            model, params["enc"], params["dec"], input_ids, attn,
+            labels, lmask, deterministic=rng is None, rng=rng,
+            return_hidden=True)
+        ce = jax.vmap(LS.masked_cross_entropy)(logits, labels, lmask)
+        if rdrop > 0:
+            if rdrop_loss == "Contrast":
+                d = model.cfg.d_model
+                cons = jax.vmap(LS.rdrop_contrast_loss)(
+                    hidden * (d ** -0.5), lmask)
+            elif rdrop_loss == "KL":
+                cons = jax.vmap(LS.rdrop_kl_loss)(logits)
+            else:                               # "L2"
+                cons = jax.vmap(LS.rdrop_l2_loss)(logits)
+            per_member = ce + rdrop * cons
+        else:
+            per_member = ce
+        return per_member.mean(), per_member
 
     @jax.jit
-    def step(params, opt_state, batch):
+    def step(params, opt_state, batch, rng=None):
         (loss, per_member), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, batch)
+            loss_fn, has_aux=True)(params, batch, rng)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, per_member

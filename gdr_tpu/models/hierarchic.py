@@ -116,3 +116,70 @@ def _index(tree: Any, i) -> Any:
         return jax.tree_util.tree_map(lambda x: x[i], tree)
     return jax.tree_util.tree_map(
         lambda x: jax.lax.dynamic_index_in_dim(x, i, 0, keepdims=False), tree)
+
+
+def hierarchic_generate_cids(model: GenerativeRetriever, base: dict,
+                             dec_stacked: Any, input_ids: Array,
+                             attn_mask: Array, children: Array,
+                             eos_allowed: Array, num_beams: int,
+                             max_len: int, length_penalty: float = 1.0):
+    """Trie-constrained beam search with per-depth decoder stacks.
+
+    The constrained-search machinery of ``ops/beam.py`` drives the
+    HierarchicT5Stack semantics (ref modeling_t5.py:1080-1149; decode
+    routing :1187-1256): step ``p`` re-runs stack ``min(p, depth-1)``
+    teacher-forced over the emitted prefix (see module note on the
+    reference's train/decode inconsistency) and the trie mask, top-k, and
+    beam bookkeeping all stay in one compiled program — replacing the
+    host-side per-step trie walk.  ``num_beams=1`` is the reference's
+    greedy decode.
+
+    Returns ``(BeamResult, query_emb [B, d])``.
+    """
+    from gdr_tpu.ops.beam import beam_search
+
+    depth = jax.tree_util.tree_leaves(dec_stacked)[0].shape[0]
+    batch = input_ids.shape[0]
+    p0 = _with_decoder(base, _index(dec_stacked, 0))
+    enc = model.apply(p0, input_ids, attn_mask, method=model.encode)
+    query_emb = model.apply(p0, enc, method=model.query_embedding)
+
+    bk = batch * num_beams
+    cache = {
+        # per-query, beam-invariant: the cross_ prefix exempts them from
+        # beam reorders (row b·K+k = query b, so permuting a query's K
+        # rows is an identity on these)
+        "cross_enc": jnp.repeat(enc, num_beams, axis=0),
+        "cross_msk": jnp.repeat(attn_mask, num_beams, axis=0),
+        # decoder inputs emitted so far (position 0 = start/PAD token);
+        # reordered with its beam on every step
+        "prefix": jnp.zeros((bk, max_len), jnp.int32),
+    }
+
+    def step_fn(cur_tok, cache, pos, width):
+        prefix = jax.lax.dynamic_update_slice(
+            cache["prefix"], cur_tok[:, None], (0, pos))
+        l = prefix.shape[1]
+        dmask = jnp.broadcast_to(jnp.arange(l)[None, :] <= pos,
+                                 (prefix.shape[0], l)).astype(jnp.int32)
+
+        def branch(i):
+            def fn(_):
+                logits, _ = model.apply(
+                    _with_decoder(base, _index(dec_stacked, i)),
+                    cache["cross_enc"], cache["cross_msk"], prefix, dmask,
+                    method=model.decode_logits)
+                return logits
+            return fn
+
+        logits = jax.lax.switch(jnp.minimum(pos, depth - 1),
+                                [branch(i) for i in range(depth)], None)
+        step_logits = jnp.take_along_axis(
+            logits, pos[None, None, None].repeat(logits.shape[0], 0),
+            axis=1)[:, 0]
+        return step_logits, {**cache, "prefix": prefix}
+
+    result = beam_search(step_fn, cache, batch, num_beams, model.cfg.kary,
+                         max_len, children, eos_allowed, length_penalty,
+                         candidates_mode=False, progressive=False)
+    return result, query_emb

@@ -90,13 +90,24 @@ def array_to_paths(arr: np.ndarray) -> list[list[list[int]]]:
 def train_ensemble(mcfg: ModelConfig, index: Index, train_set: TrainSet,
                    num_decoders: int, epochs: int, lr: float,
                    batch_size: int, workdir: str, seed: int,
-                   leaf_cap: int = 30) -> dict:
+                   leaf_cap: int = 30, decoder_lr: float | None = None,
+                   weight_decay: float = 1e-4, max_grad_norm: float = 1.0,
+                   rdrop: float = 0.0, rdrop_loss: str = "Contrast") -> dict:
     """Train N decoders (one per docid assignment) on one shared encoder
-    (ref multiple_decoder, modeling_t5.py:1187-1256)."""
+    (ref multiple_decoder, modeling_t5.py:1187-1256).
+
+    The reference routes multiple_decoder through the SAME T5FineTuner
+    optimizer/loss machinery as the main path — encoder/decoder split LRs
+    with per-parameter weight-decay exemptions (main_models.py:1920-1975)
+    and R-Drop batch duplication (:925-944); mirrored here with a 4-group
+    ``optax.multi_transform`` (no doc-encoder tower in this mode) and the
+    ``rdrop``/``rdrop_loss`` knobs of ``make_ensemble_train_step``.
+    """
     import optax
 
     from gdr_tpu.models.ensemble import init_ensemble, make_ensemble_train_step
     from gdr_tpu.models.gdr import GenerativeRetriever
+    from gdr_tpu.train.optimizer import _is_no_decay
 
     model = GenerativeRetriever(mcfg)
     enc_side, dec_stacked = init_ensemble(
@@ -108,10 +119,29 @@ def train_ensemble(mcfg: ModelConfig, index: Index, train_set: TrainSet,
     lmask = (labels != 0).astype(np.int32)
 
     params = {"enc": enc_side, "dec": dec_stacked}
-    opt = optax.adamw(lr)
+    if decoder_lr is None:
+        decoder_lr = lr / 2            # ref default ratio 2e-4 / 1e-4
+
+    def group(path, _):
+        side = str(getattr(path[0], "key", path[0]))   # "enc" | "dec"
+        return f"{side}_{'nd' if _is_no_decay(path) else 'wd'}"
+
+    transforms = {
+        "enc_wd": optax.adamw(lr, weight_decay=weight_decay),
+        "enc_nd": optax.adamw(lr),
+        "dec_wd": optax.adamw(decoder_lr, weight_decay=weight_decay),
+        "dec_nd": optax.adamw(decoder_lr),
+    }
+    opt = optax.chain(
+        optax.clip_by_global_norm(max_grad_norm),
+        optax.multi_transform(
+            transforms, jax.tree_util.tree_map_with_path(group, params)))
     opt_state = opt.init(params)
-    step = make_ensemble_train_step(model, opt)
+    step = make_ensemble_train_step(model, opt, rdrop=rdrop,
+                                    rdrop_loss=rdrop_loss)
+    base_rng = jax.random.PRNGKey(seed + 7)
     loss = float("nan")
+    global_step = 0
     for epoch in range(epochs):
         losses = []
         for idx in _batches(len(train_set), batch_size, seed + epoch):
@@ -119,8 +149,11 @@ def train_ensemble(mcfg: ModelConfig, index: Index, train_set: TrainSet,
                      "attn_mask": jnp.asarray(train_set.attn_mask[idx]),
                      "labels": jnp.asarray(labels[:, idx]),
                      "label_mask": jnp.asarray(lmask[:, idx])}
-            params, opt_state, loss, _ = step(params, opt_state, batch)
+            params, opt_state, loss, _ = step(
+                params, opt_state, batch,
+                jax.random.fold_in(base_rng, global_step))
             losses.append(float(loss))
+            global_step += 1
         print(f"ensemble epoch {epoch}: loss {np.mean(losses):.4f}")
 
     _save_msgpack(os.path.join(workdir, "ensemble.msgpack"), params)
@@ -207,15 +240,19 @@ def eval_ensemble(mcfg: ModelConfig, index: Index, dev: EvalData,
 def train_eval_hierarchic(mcfg: ModelConfig, index: Index,
                           train_set: TrainSet, dev: EvalData, epochs: int,
                           lr: float, batch_size: int, workdir: str,
-                          seed: int, eval_batch_size: int = 8) -> dict:
+                          seed: int, eval_batch_size: int = 8,
+                          beam: int = 10, score_rates=(0.0,),
+                          length_penalty: float = 0.8) -> dict:
     """Per-depth decoder stacks (ref HierarchicT5Stack,
     modeling_t5.py:1080-1149): CE training on the depth-routed logits, then
-    greedy trie-constrained decode with per-depth stacks."""
+    trie-constrained beam decode + dense re-rank — the same constrained
+    search + fused re-rank machinery as the main path (the reference routes
+    hierarchic_decode through the identical validation_step,
+    main_models.py:1337-1642).  ``beam=1`` is the reference's greedy mode."""
     import optax
 
     from gdr_tpu.models.gdr import GenerativeRetriever, shift_right
-    from gdr_tpu.models.hierarchic import (hierarchic_decode_step,
-                                           hierarchic_logits, init_hierarchic)
+    from gdr_tpu.models.hierarchic import hierarchic_logits, init_hierarchic
     from gdr_tpu.ops.losses import masked_cross_entropy
 
     depth = int(index.trie.depth.max())
@@ -252,29 +289,32 @@ def train_eval_hierarchic(mcfg: ModelConfig, index: Index,
 
     _save_msgpack(os.path.join(workdir, "hierarchic.msgpack"), params)
 
-    # ---- greedy trie-constrained decode, stack per depth ----
+    # ---- trie-constrained beam decode + dense re-rank, stack per depth ----
+    from gdr_tpu.models.hierarchic import hierarchic_generate_cids
+    from gdr_tpu.ops.rerank import rerank
+
     trie = index.trie
-    kary = mcfg.kary
     L = mcfg.max_output_length
+    children = jnp.asarray(trie.children)
+    eos_allowed = jnp.asarray(trie.eos_allowed)
+    store = jnp.asarray(index.store)
+    alphas = jnp.asarray(tuple(score_rates), jnp.float32)
 
     @jax.jit
-    def enc_fn(p, ids, msk):
-        from gdr_tpu.models.hierarchic import _index, _with_decoder
-        return model.apply(_with_decoder(p["base"], _index(p["dec"], 0)),
-                           ids, msk, method=model.encode)
-
-    step_fns = {}
-
-    def logits_at(p, prefix, enc, msk, pos):
-        if pos not in step_fns:
-            step_fns[pos] = jax.jit(
-                lambda p, pre, enc, msk: hierarchic_decode_step(
-                    model, p["base"], p["dec"], pre, enc, msk,
-                    jnp.asarray(pos, jnp.int32), depth))
-        return step_fns[pos](p, prefix, enc, msk)
+    def decode_fn(p, ids, msk):
+        res, q_emb = hierarchic_generate_cids(
+            model, p["base"], p["dec"], ids, msk, children, eos_allowed,
+            num_beams=beam, max_len=L, length_penalty=length_penalty)
+        rr = rerank(store, q_emb, res.nodes, res.scores, res.valid,
+                    jnp.asarray(trie.cluster_of_node),
+                    jnp.asarray(trie.cluster_docs),
+                    jnp.asarray(trie.cluster_doc_mask),
+                    alphas, top_r=beam)
+        return res, rr
 
     nq = len(dev.input_ids)
     preds: dict[int, list[str]] = {}
+    doc_preds: dict[int, list[str]] = {}
     bs = eval_batch_size
     for s in range(0, nq, bs):
         e = min(s + bs, nq)
@@ -283,37 +323,25 @@ def train_eval_hierarchic(mcfg: ModelConfig, index: Index,
                              + ([dev.input_ids[s:s + 1]] * pad if pad else []))
         msk = np.concatenate([dev.attn_mask[s:e]]
                              + ([dev.attn_mask[s:s + 1]] * pad if pad else []))
-        enc = enc_fn(params, jnp.asarray(ids), jnp.asarray(msk))
-        node = np.zeros(bs, np.int64)
-        done = np.zeros(bs, bool)
-        prefix = np.zeros((bs, L), np.int32)          # decoder inputs
-        digits_out = [[] for _ in range(bs)]
-        for pos in range(min(L - 1, depth)):
-            lg = np.asarray(logits_at(params, jnp.asarray(prefix), enc,
-                                      jnp.asarray(msk), pos))
-            for b in range(bs):
-                if done[b]:
-                    continue
-                ch = trie.children[node[b]]           # [kary]
-                allowed = {int(d): lg[b, pos * kary + d + 2]
-                           for d in range(kary) if ch[d] >= 0}
-                eos_ok = bool(trie.eos_allowed[node[b]])
-                best_d = (max(allowed, key=allowed.get)
-                          if allowed else None)
-                if best_d is None or (eos_ok and (not allowed
-                                                  or lg[b, 1] >= allowed[best_d])):
-                    done[b] = True
-                    continue
-                digits_out[b].append(best_d)
-                if pos + 1 < L:
-                    prefix[b, pos + 1] = pos * kary + best_d + 2
-                node[b] = ch[best_d]
+        res, rr = decode_fn(params, jnp.asarray(ids), jnp.asarray(msk))
+        nodes = np.asarray(res.nodes)
+        valid = np.asarray(res.valid)
+        docs = np.asarray(rr.doc_ids)[0]        # α = score_rates[0]
+        dvalid = np.asarray(rr.doc_valid)[0]
         for b in range(e - s):
-            preds[s + b] = ["-".join(str(d) for d in digits_out[b])]
+            preds[s + b] = [trie.cid_of_node(int(n)) for n, ok
+                            in zip(nodes[b], valid[b]) if ok]
+            doc_preds[s + b] = [str(int(d)) for d, ok
+                                in zip(docs[b], dvalid[b]) if ok]
 
+    ks = tuple(k for k in (1, 5, 10, 20, 50, 100) if k <= beam) or (1,)
+    aks = tuple(k for k in (1, 20, 100) if k <= beam) or (1,)
     gt = {q: dev.gt_cids[q] for q in preds}
-    out = M.full_suite(preds, gt, recall_ks=(1,), accuracy_ks=(1,),
+    out = M.full_suite(preds, gt, recall_ks=ks, accuracy_ks=aks,
                        mrr_ks=(10,), map_k=10, prefix="cluster_")
+    gtd = {q: dev.gt_docs[q] for q in doc_preds}
+    out.update(M.full_suite(doc_preds, gtd, recall_ks=ks, accuracy_ks=aks,
+                            mrr_ks=(10,), map_k=10))
     out["final_loss"] = float(np.mean(losses)) if losses else float("nan")
     return out
 

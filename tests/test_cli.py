@@ -158,7 +158,7 @@ def test_cli_qg_and_merge(world, capsys):
               "--epochs", "1", "--beam", "4", "--adaptor-layers", "1",
               "--qg", str(tmp / "qg.npz"), "--mesh", "none"])
     out = capsys.readouterr().out
-    assert "merged 36 qg pseudo-queries" in out
+    assert "18 gtq + 36 qg = 54 rows" in out
 
 
 def test_cli_ensemble(world, capsys):
@@ -209,10 +209,12 @@ def test_cli_hierarchic(world, capsys):
               "--workdir", str(tmp / "run_h"), "--model-size", "tiny",
               "--kary", "3", "--max-output-length", "5",
               "--max-input-length", "12", "--batch-size", "6",
-              "--epochs", "1", "--adaptor-layers", "1", "--hierarchic"])
+              "--epochs", "1", "--adaptor-layers", "1", "--hierarchic",
+              "--beam", "4"])
     out = capsys.readouterr().out
     metrics = json.loads(out[out.index("{"):])
     assert "cluster_recall1" in metrics
+    assert "recall1" in metrics          # doc level, via the dense re-rank
     assert np.isfinite(metrics["final_loss"])
     assert os.path.exists(tmp / "run_h" / "hierarchic.msgpack")
 

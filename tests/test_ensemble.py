@@ -127,3 +127,67 @@ def test_ensemble_train_step_loss_decreases():
             first = float(loss)
     assert float(loss) < first * 0.8, (first, float(loss))
     assert per_member.shape == (n,)
+
+
+def test_ensemble_train_step_rdrop_variants():
+    """R-Drop through the ensemble step (ref routes multiple_decoder through
+    the same T5FineTuner loss machinery, main_models.py:925-944): each
+    variant runs with live dropout, stays finite, and actually contributes
+    (loss != plain CE of the duplicated halves)."""
+    import optax
+    from gdr_tpu.models.ensemble import make_ensemble_train_step
+
+    mcfg = CFG.model                     # dropout ON — halves must differ
+    n, b, s, L = 2, 4, 8, mcfg.max_output_length
+    model = GenerativeRetriever(mcfg)
+    enc_side, dec_stacked = init_ensemble(model, jax.random.PRNGKey(0), n)
+    rng = np.random.default_rng(0)
+    labels = np.zeros((n, b, L), np.int32)
+    for i in range(n):
+        for j in range(b):
+            digits = rng.integers(0, mcfg.kary, size=2)
+            toks = [p * mcfg.kary + int(d) + 2
+                    for p, d in enumerate(digits)] + [1]
+            labels[i, j, :len(toks)] = toks
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(2, 100, size=(b, s)), jnp.int32),
+        "attn_mask": jnp.ones((b, s), jnp.int32),
+        "labels": jnp.asarray(labels),
+        "label_mask": jnp.asarray((labels != 0).astype(np.int32)),
+    }
+    params = {"enc": enc_side, "dec": dec_stacked}
+    opt = optax.adam(3e-3)
+    for variant in ("Contrast", "KL", "L2"):
+        step = make_ensemble_train_step(model, opt, rdrop=0.1,
+                                        rdrop_loss=variant)
+        p, o, loss, per_member = step(params, opt.init(params), batch,
+                                      jax.random.PRNGKey(7))
+        assert np.isfinite(float(loss)), variant
+        assert per_member.shape == (n,)
+        # the step must actually move the decoder-side params
+        delta = jax.tree_util.tree_reduce(
+            lambda a, x: a + float(jnp.abs(x).sum()),
+            jax.tree_util.tree_map(jnp.subtract, p["dec"], params["dec"]),
+            0.0)
+        assert delta > 0.0, variant
+
+
+def test_ensemble_rdrop_requires_rng():
+    import optax
+    import pytest
+    from gdr_tpu.models.ensemble import make_ensemble_train_step
+
+    model = GenerativeRetriever(MCFG)
+    n, b, s, L = 2, 2, 8, MCFG.max_output_length
+    enc_side, dec_stacked = init_ensemble(model, jax.random.PRNGKey(0), n)
+    params = {"enc": enc_side, "dec": dec_stacked}
+    opt = optax.adam(1e-3)
+    step = make_ensemble_train_step(model, opt, rdrop=0.1)
+    batch = {
+        "input_ids": jnp.ones((b, s), jnp.int32),
+        "attn_mask": jnp.ones((b, s), jnp.int32),
+        "labels": jnp.ones((n, b, L), jnp.int32),
+        "label_mask": jnp.ones((n, b, L), jnp.int32),
+    }
+    with pytest.raises(ValueError, match="rdrop"):
+        step(params, opt.init(params), batch)
