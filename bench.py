@@ -502,6 +502,83 @@ def quality_phase(tiny: bool) -> dict:
     return out
 
 
+def modes_phase(tiny: bool) -> dict:
+    """Secondary-mode quality smoke: ensemble (multiple_decoder) and
+    hierarchic (per-depth stacks) through their product flows — R-Drop +
+    multi-LR ensemble training, per-member constrained retrieval with
+    score-merge, and the hierarchic constrained beam + dense re-rank
+    (ref modeling_t5.py:1187-1256, 1080-1149).  Small synthetic task:
+    capability lines, not headline numbers."""
+    import tempfile
+
+    from gdr_tpu.config import IndexConfig, ModelConfig
+    from gdr_tpu.data.dataset import build_train_set_from_tokens
+    from gdr_tpu.eval.evaluator import EvalData
+    from gdr_tpu.index.builder import build_index_from_embeddings
+    from gdr_tpu.train.modes import (eval_ensemble, train_ensemble,
+                                     train_eval_hierarchic)
+
+    rng = np.random.default_rng(5)
+    n_docs, n_topics, dim, kary, leaf_cap = 240, 12, 32, 4, 8
+    seq_len, L, epochs = 12, 5, 3
+    centers = rng.normal(size=(n_topics, dim)) * 6.0
+    topic_of = rng.integers(0, n_topics, n_docs)
+    store = (centers[topic_of]
+             + rng.normal(size=(n_docs, dim))).astype(np.float32)
+    store /= np.linalg.norm(store, axis=1, keepdims=True)
+    index = build_index_from_embeddings(
+        store, IndexConfig(kary=kary, leaf_cap=leaf_cap, seed=3,
+                           embedding_dim=dim,
+                           max_docs_per_cluster=leaf_cap * 4))
+    mcfg = ModelConfig(kary=kary, max_output_length=L, d_model=64, d_kv=16,
+                       d_ff=128, num_layers=2, num_decoder_layers=2,
+                       num_heads=4, vocab_size=512, encoder_d_model=dim,
+                       adaptor_layer_num=1, adaptor_num_heads=2)
+
+    # token-identified queries: [topic token, doc token, noise token]
+    def qrow(d, r):
+        row = np.zeros(seq_len, np.int32)
+        row[0] = 2 + int(topic_of[d])
+        row[1] = 2 + n_topics + d
+        row[2] = 2 + n_topics + n_docs + int(r.integers(0, 50))
+        return row
+
+    q_ids = np.stack([qrow(d, rng) for d in range(n_docs) for _ in range(2)])
+    q_mask = (q_ids != 0).astype(np.int32)
+    train_set = build_train_set_from_tokens(
+        q_ids, q_mask, list(np.repeat(np.arange(n_docs), 2)),
+        index.paths, mcfg, source="gtq")
+    dev_docs = np.random.default_rng(9).choice(n_docs, 60, replace=False)
+    d_ids = np.stack([qrow(int(d), rng) for d in dev_docs])
+    dev = EvalData(input_ids=d_ids, attn_mask=(d_ids != 0).astype(np.int32),
+                   gt_docs=[[str(int(d))] for d in dev_docs],
+                   gt_cids=[[index.cid_of_doc[int(d)]] for d in dev_docs])
+
+    out: dict = {}
+    with tempfile.TemporaryDirectory() as wd:
+        t0 = time.perf_counter()
+        m_h = train_eval_hierarchic(mcfg, index, train_set, dev,
+                                    epochs=epochs, lr=3e-3, batch_size=32,
+                                    workdir=wd, seed=0, beam=4)
+        out["hierarchic_cluster_recall1"] = round(m_h["cluster_recall1"], 4)
+        out["hierarchic_recall1"] = round(m_h["recall1"], 4)
+        out["hierarchic_s"] = round(time.perf_counter() - t0, 1)
+        snap(out)
+
+        t0 = time.perf_counter()
+        train_ensemble(mcfg, index, train_set, num_decoders=2, epochs=epochs,
+                       lr=3e-3, batch_size=32, workdir=wd, seed=0,
+                       leaf_cap=leaf_cap, rdrop=0.1)
+        m_e = eval_ensemble(mcfg, index, dev, wd, num_decoders=2, beam=4,
+                            batch_size=16)
+        out["ensemble_recall1"] = round(m_e["recall1"], 4)
+        out["ensemble_recall5"] = round(m_e["recall5"], 4)
+        out["ensemble_s"] = round(time.perf_counter() - t0, 1)
+        snap(out)
+    log(f"modes: {out}")
+    return out
+
+
 def train_step_phase(tiny: bool, bf16: bool = True) -> dict:
     """Time the flagship train step (t5-base, batch 32, R-Drop duplication
     + InfoNCE) at the PRODUCT default precision: bf16 compute towers with
@@ -626,6 +703,7 @@ _PHASES = {
     "trainstep_bf16": lambda: train_step_phase(False, bf16=True),
     "trainstep_fp32": lambda: train_step_phase(False, bf16=False),
     "quality": lambda: quality_phase(False),
+    "modes": lambda: modes_phase(False),
 }
 
 
@@ -991,13 +1069,15 @@ def main() -> None:
     if tiny:
         extra.update(train_step_phase(tiny, bf16=True))
         extra.update(quality_phase(tiny))
+        extra.update(modes_phase(tiny))
     else:
         schedule = (
             # (name, reserve for later phases, minimum useful window)
-            ("quality", 420, 300),
-            ("trainstep_bf16", 120, 120),
-            ("dist_rerank", 60, 120),
-            ("trainstep_fp32", 30, 120),
+            ("quality", 540, 300),
+            ("trainstep_bf16", 240, 120),
+            ("dist_rerank", 180, 120),
+            ("modes", 30, 150),
+            ("trainstep_fp32", 0, 120),
         )
         for phase, reserve, min_win in schedule:
             cap = remaining_s() - reserve
