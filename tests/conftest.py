@@ -47,6 +47,7 @@ _FAST_MODULES = {
     "test_data", "test_io_utils", "test_subword", "test_native",
     "test_packed_store", "test_losses_extra", "test_index", "test_kmeans",
     "test_convert", "test_pallas_rerank", "test_checkpoint", "test_quantize",
+    "test_bench_scale",
 }
 
 
