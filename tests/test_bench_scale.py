@@ -52,3 +52,17 @@ def test_scale_bad_manifest_falls_back(monkeypatch, tmp_path):
     (tmp_path / "q_scale.json").write_text("{not json")
     sc = bench._quality_scale(False)
     assert sc == bench._Q_DEFAULTS
+
+
+def test_epoch_cost_estimate(tmp_path):
+    # None before any epoch completed (missing file / no epoch_seconds)
+    assert bench._epoch_cost_estimate(str(tmp_path)) is None
+    p = tmp_path / "train.metrics.jsonl"
+    p.write_text('{"step": 1, "loss": 9.0}\n')
+    assert bench._epoch_cost_estimate(str(tmp_path)) is None
+    # max of the last three epochs: a stage-2 epoch (store refresh) must
+    # not be underestimated by earlier stage-1 history
+    rows = [{"epoch": e, "epoch_seconds": s}
+            for e, s in enumerate([900.0, 880.0, 860.0, 300.0, 410.0])]
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    assert bench._epoch_cost_estimate(str(tmp_path)) == 860.0
