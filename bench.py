@@ -166,10 +166,15 @@ def _source_hash() -> str:
     root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "gdr_tpu")
     keep = ("config.py", "data/", "models/", "ops/", "train/", "index/")
+    # serialization/IO code changes how a checkpoint is WRITTEN, not what
+    # the trained model is — hashing it would orphan pre-trained caches on
+    # every IO robustness fix
+    skip = ("train/checkpoint.py",)
     for dirpath, _, files in sorted(os.walk(root)):
         for f in sorted(files):
             rel = os.path.relpath(os.path.join(dirpath, f), root)
-            if f.endswith(".py") and rel.startswith(keep):
+            if f.endswith(".py") and rel.startswith(keep) \
+                    and rel not in skip:
                 with open(os.path.join(dirpath, f), "rb") as fh:
                     h.update(fh.read())
     h.update(inspect.getsource(_gen_quality_data).encode())

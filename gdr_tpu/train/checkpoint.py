@@ -10,11 +10,55 @@ metadata for the monitored series.
 
 from __future__ import annotations
 
+import queue
+import threading
 from typing import Any, Optional
 
+import jax
+import numpy as np
 import orbax.checkpoint as ocp
 
 from gdr_tpu.config import TrainConfig
+
+
+def _fetch_leaf(leaf: Any, timeout: float = 300.0, attempts: int = 2) -> Any:
+    """``jax.device_get`` one pytree leaf with a watchdog.
+
+    The transfer runs on a daemon thread so a lost RPC cannot freeze the
+    training process forever; on timeout the fetch is retried once (a fresh
+    RPC usually succeeds when a previous one was dropped) and then raised,
+    letting the caller's preemption/retry machinery take over instead of
+    hanging silently.
+    """
+    if not isinstance(leaf, jax.Array):
+        return np.asarray(leaf)
+    for attempt in range(attempts):
+        q: queue.Queue = queue.Queue(maxsize=1)
+        t = threading.Thread(
+            target=lambda: q.put(jax.device_get(leaf)), daemon=True)
+        t.start()
+        try:
+            return q.get(timeout=timeout)
+        except queue.Empty:
+            if attempt + 1 >= attempts:
+                raise TimeoutError(
+                    f"device→host fetch of a {leaf.shape} {leaf.dtype} leaf "
+                    f"timed out twice ({timeout:.0f}s each)")
+
+
+def _host_state(state: Any) -> Any:
+    """Fetch every leaf to host numpy before orbax serialization.
+
+    Orbax's serializer pulls device arrays itself through asyncio +
+    TensorStore; on the experimental remote-device platform used here that
+    interleaving has been observed to deadlock mid-save (a checkpoint wrote
+    only its metadata, then the device→host RPC never returned and the
+    trainer froze with zero CPU).  A plain per-leaf ``jax.device_get`` is
+    the same single-RPC path the train loop exercises thousands of times a
+    run; doing it eagerly — with a watchdog (``_fetch_leaf``) — hands orbax
+    a pure-host pytree so serialization never touches the device.
+    """
+    return jax.tree_util.tree_map(_fetch_leaf, state)
 
 
 class CheckpointManager:
@@ -62,7 +106,7 @@ class CheckpointManager:
                    async_save=cfg.async_checkpointing)
 
     def save(self, step: int, state: Any, metrics: dict[str, float]) -> None:
-        self.mgr.save(step, args=ocp.args.StandardSave(state),
+        self.mgr.save(step, args=ocp.args.StandardSave(_host_state(state)),
                       metrics={k: float(v) for k, v in metrics.items()})
         if not self.async_save:
             self.mgr.wait_until_finished()
@@ -70,7 +114,7 @@ class CheckpointManager:
     def save_preemption(self, step: int, state: Any) -> None:
         """Persist a resume point outside the best-k retention policy."""
         mgr = self._preempt_mgr()
-        mgr.save(step, args=ocp.args.StandardSave(state))
+        mgr.save(step, args=ocp.args.StandardSave(_host_state(state)))
         mgr.wait_until_finished()
 
     def restore_latest(self, template: Any
