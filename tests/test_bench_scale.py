@@ -66,3 +66,28 @@ def test_epoch_cost_estimate(tmp_path):
             for e, s in enumerate([900.0, 880.0, 860.0, 300.0, 410.0])]
     p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
     assert bench._epoch_cost_estimate(str(tmp_path)) == 860.0
+
+
+def test_source_hash_ignores_serialization_code(tmp_path):
+    """The quality-checkpoint identity hash must NOT cover
+    train/checkpoint.py: IO robustness fixes change how a checkpoint is
+    written, not what the trained model is — hashing them would orphan
+    pre-trained caches (round-4: the remote-save deadlock fix must not
+    invalidate the 334k checkpoint)."""
+    import pathlib
+    base = bench._source_hash()
+    p = pathlib.Path(bench.__file__).parent / "gdr_tpu/train/checkpoint.py"
+    orig = p.read_bytes()
+    try:
+        p.write_bytes(orig + b"\n# hash-invariance probe\n")
+        assert bench._source_hash() == base
+    finally:
+        p.write_bytes(orig)
+    # control: a hashed source DOES change it
+    q = pathlib.Path(bench.__file__).parent / "gdr_tpu/train/loop.py"
+    orig_q = q.read_bytes()
+    try:
+        q.write_bytes(orig_q + b"\n# hash-invariance probe\n")
+        assert bench._source_hash() != base
+    finally:
+        q.write_bytes(orig_q)

@@ -83,3 +83,32 @@ def test_async_checkpointing_roundtrip(tmp_path):
     step, best = mgr.restore_best(_state(0.0))
     assert step == 2
     mgr.close()
+
+
+def test_saved_checkpoint_is_host_pytree(tmp_path):
+    """Round-4 deadlock fix: the save path must hand orbax a pure-host
+    pytree (serialization never touches the device — on a remote/tunneled
+    platform orbax's own device fetches deadlocked mid-save).  A raw
+    restore of such a checkpoint yields numpy leaves with no device
+    shardings, which also makes cross-platform reads (TPU-written →
+    CPU-read) safe by construction."""
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), monitor="recall1",
+                            mode="max", save_top_k=1)
+    state = {"params": {"w": jnp.arange(6.0)},   # device array in, ...
+             "step": jnp.asarray(3, jnp.int32)}
+    mgr.save(3, state, {"recall1": 0.5})
+    step, raw = mgr.restore_raw()
+    assert step == 3
+    leaves = jax.tree_util.tree_leaves(raw)
+    assert leaves and all(isinstance(l, np.ndarray) for l in leaves)
+    np.testing.assert_allclose(raw["params"]["w"], np.arange(6.0))
+    mgr.close()
+
+
+def test_fetch_leaf_passthrough_and_watchdog():
+    from gdr_tpu.train.checkpoint import _fetch_leaf
+    np.testing.assert_allclose(_fetch_leaf(np.ones(3)), np.ones(3))
+    assert _fetch_leaf(7) == 7
+    out = _fetch_leaf(jnp.full((2, 2), 5.0))
+    assert isinstance(out, np.ndarray)
+    np.testing.assert_allclose(out, 5.0)
