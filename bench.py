@@ -322,12 +322,40 @@ def quality_phase(tiny: bool) -> dict:
     seq_len = sc["seq_len"]
 
     t_phase = {}
-    (texts, store, centers, topic_of, topic_words, train_q, train_pos,
-     dev_docs, dev_q) = _gen_quality_data(sc)
-
-    # ---- product path: subword tokenizer → index → TrainSet -------------
     ck_root = _persistent_dir("state")
     os.makedirs(ck_root, exist_ok=True)
+    # synthetic-data cache: host generation is ~214 s at the 334k point on
+    # this 1-core host — a fifth of the driver's quality window.  Key =
+    # generator source + operating point, so any change to the data
+    # definition regenerates (the same source text is part of
+    # _source_hash, keeping checkpoint identity consistent).
+    t0 = time.perf_counter()
+    import hashlib
+    import inspect
+    gen_key = hashlib.sha256(
+        (inspect.getsource(_gen_quality_data)
+         + json.dumps(sc, sort_keys=True)).encode()).hexdigest()[:10]
+    gen_cache = os.path.join(ck_root, f"qgen_{gen_key}.npz")
+    if os.path.exists(gen_cache):
+        z = np.load(gen_cache)
+        texts = z["texts"].tolist()
+        store, centers = z["store"], z["centers"]
+        topic_of = z["topic_of"]
+        topic_words = [list(r) for r in z["topic_words"]]
+        train_q, train_pos = z["train_q"].tolist(), z["train_pos"]
+        dev_docs, dev_q = z["dev_docs"], z["dev_q"].tolist()
+    else:
+        (texts, store, centers, topic_of, topic_words, train_q, train_pos,
+         dev_docs, dev_q) = _gen_quality_data(sc)
+        if sc["n_docs"] >= 100_000:          # tiny/50k regenerate in seconds
+            np.savez(gen_cache, texts=np.asarray(texts), store=store,
+                     centers=centers, topic_of=topic_of,
+                     topic_words=np.asarray(topic_words),
+                     train_q=np.asarray(train_q), train_pos=train_pos,
+                     dev_docs=dev_docs, dev_q=np.asarray(dev_q))
+    t_phase["data_gen_s"] = round(time.perf_counter() - t0, 1)
+
+    # ---- product path: subword tokenizer → index → TrainSet -------------
     t0 = time.perf_counter()
     tok_path = os.path.join(ck_root, f"tok_q5_{n_docs}_{n_topics}.json")
     if os.path.exists(tok_path):
