@@ -1,0 +1,130 @@
+"""Supervised runner for the bench quality phase on a tunneled TPU.
+
+The dev tunnel's transport can drop a connection mid-run; the PJRT client
+then reconnects but the in-flight op's completion is lost and the process
+blocks forever (observed twice on 2026-08-19: once inside a checkpoint
+save, once at a plain training step — zero CPU, no socket or a fresh
+reconnected socket, metrics log frozen).  Training itself is
+epoch-resumable (TrainLoop + orbax best/preempt checkpoints), so the robust
+shape is external: launch ``bench.py --phase quality``, watch for progress
+(child stdout/stderr growth, the workdir metric log, checkpoint dir
+mtimes), kill on stall, relaunch — the child resumes from the last saved
+epoch and, near the deadline, degrades to evaluating the best checkpoint
+as-is (bench.py's budget guard).
+
+Usage:
+    python benchmarks/supervise_quality.py --deadline-ts <unix ts> \
+        [--stall-s 420] [--out /tmp/qscale.json] [--log /tmp/qscale.log]
+
+Scale comes from the persistent q_scale.json manifest plus any
+GDR_BENCH_Q_* env vars already exported, exactly like a direct phase run.
+"""
+
+import argparse
+import glob
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+STATE = os.environ.get(
+    "GDR_BENCH_STATE_DIR",
+    os.path.join(os.path.expanduser("~"), ".cache", "gdr_bench_state"))
+
+
+def newest_progress_ts(out_path: str, log_path: str) -> float:
+    """Newest mtime across everything the child updates while healthy."""
+    paths = [out_path, log_path]
+    paths += glob.glob(os.path.join(STATE, "q5_*", "train.metrics.jsonl"))
+    paths += glob.glob(os.path.join(STATE, "q5_*", "ckpt*", "*"))
+    ts = 0.0
+    for p in paths:
+        try:
+            ts = max(ts, os.path.getmtime(p))
+        except OSError:
+            pass
+    return ts
+
+
+def last_json_line(path: str) -> dict:
+    out: dict = {}
+    try:
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if line.startswith("{"):
+                    try:
+                        out.update(json.loads(line))
+                    except ValueError:
+                        pass
+    except OSError:
+        pass
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--deadline-ts", type=float, required=True,
+                    help="absolute unix deadline for the WHOLE supervised "
+                         "run (passed to each child as its phase deadline)")
+    ap.add_argument("--stall-s", type=float, default=420.0,
+                    help="kill the child after this long with no progress "
+                         "signal (evals/saves are silent for ~3-4 min)")
+    ap.add_argument("--out", default="/tmp/qscale_supervised.json")
+    ap.add_argument("--log", default="/tmp/qscale_supervised.log")
+    args = ap.parse_args()
+
+    attempt = 0
+    while time.time() < args.deadline_ts - 120:
+        attempt += 1
+        env = {**os.environ,
+               "GDR_BENCH_DEADLINE_TS": str(args.deadline_ts)}
+        out_f = open(args.out, "a")
+        log_f = open(args.log, "a")
+        log_f.write(f"\n=== attempt {attempt} at {time.ctime()} ===\n")
+        log_f.flush()
+        proc = subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "bench.py"),
+             "--phase", "quality"],
+            stdout=out_f, stderr=log_f, env=env, cwd=REPO)
+        stalled = False
+        while proc.poll() is None:
+            time.sleep(20)
+            idle = time.time() - newest_progress_ts(args.out, args.log)
+            if idle > args.stall_s:
+                print(f"[supervisor] attempt {attempt}: no progress for "
+                      f"{idle:.0f}s — killing pid {proc.pid}", flush=True)
+                proc.send_signal(signal.SIGKILL)
+                proc.wait(timeout=30)
+                stalled = True
+                break
+            if time.time() > args.deadline_ts + 300:
+                print("[supervisor] hard deadline overrun — killing",
+                      flush=True)
+                proc.send_signal(signal.SIGKILL)
+                proc.wait(timeout=30)
+                stalled = True
+                break
+        out_f.close()
+        log_f.close()
+        summary = last_json_line(args.out)
+        if not stalled and proc.returncode == 0 and \
+                "quality_recall10" in summary:
+            print(f"[supervisor] done after {attempt} attempt(s): "
+                  f"{json.dumps(summary)}", flush=True)
+            return 0
+        print(f"[supervisor] attempt {attempt} ended (rc={proc.returncode}, "
+              f"stalled={stalled}); fields so far: {len(summary)} — "
+              f"{'relaunching' if time.time() < args.deadline_ts - 120 else 'out of time'}",
+              flush=True)
+        time.sleep(10)
+    print(f"[supervisor] deadline reached; best summary: "
+          f"{json.dumps(last_json_line(args.out))}", flush=True)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

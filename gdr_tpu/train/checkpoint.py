@@ -11,7 +11,9 @@ metadata for the monitored series.
 from __future__ import annotations
 
 import queue
+import sys
 import threading
+import time
 from typing import Any, Optional
 
 import jax
@@ -40,6 +42,9 @@ def _fetch_leaf(leaf: Any, timeout: float = 300.0, attempts: int = 2) -> Any:
         try:
             return q.get(timeout=timeout)
         except queue.Empty:
+            print(f"[checkpoint] fetch of {leaf.shape} {leaf.dtype} leaf "
+                  f"timed out ({timeout:.0f}s), attempt {attempt + 1}",
+                  file=sys.stderr, flush=True)
             if attempt + 1 >= attempts:
                 raise TimeoutError(
                     f"device→host fetch of a {leaf.shape} {leaf.dtype} leaf "
@@ -57,8 +62,19 @@ def _host_state(state: Any) -> Any:
     the same single-RPC path the train loop exercises thousands of times a
     run; doing it eagerly — with a watchdog (``_fetch_leaf``) — hands orbax
     a pure-host pytree so serialization never touches the device.
+
+    Progress heartbeats go to stderr so an external stall supervisor (e.g.
+    benchmarks/supervise_quality.py) can tell a slow multi-GB fetch from a
+    hung one.
     """
-    return jax.tree_util.tree_map(_fetch_leaf, state)
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    out, t0 = [], time.time()
+    for i, leaf in enumerate(leaves):
+        out.append(_fetch_leaf(leaf))
+        if (i + 1) % 50 == 0 or i + 1 == len(leaves):
+            print(f"[checkpoint] fetched {i + 1}/{len(leaves)} leaves "
+                  f"({time.time() - t0:.1f}s)", file=sys.stderr, flush=True)
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 class CheckpointManager:
