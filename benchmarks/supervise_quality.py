@@ -37,9 +37,12 @@ STATE = os.environ.get(
 
 def newest_progress_ts(out_path: str, log_path: str) -> float:
     """Newest mtime across everything the child updates while healthy."""
+    # *_base* filter: concurrent tiny-mode runs share the state dir and
+    # their mtimes must not mask a stall of the supervised base-scale child
     paths = [out_path, log_path]
-    paths += glob.glob(os.path.join(STATE, "q5_*", "train.metrics.jsonl"))
-    paths += glob.glob(os.path.join(STATE, "q5_*", "ckpt*", "*"))
+    paths += glob.glob(os.path.join(STATE, "q5_*_base*",
+                                    "train.metrics.jsonl"))
+    paths += glob.glob(os.path.join(STATE, "q5_*_base*", "ckpt*", "*"))
     ts = 0.0
     for p in paths:
         try:
@@ -47,6 +50,17 @@ def newest_progress_ts(out_path: str, log_path: str) -> float:
         except OSError:
             pass
     return ts
+
+
+def _has_resumable_ckpt() -> bool:
+    """True when any quality workdir holds a FINALIZED orbax step dir
+    (an entry not suffixed ``-tmp``) — i.e. a kill would resume, not
+    restart from zero."""
+    for step_dir in glob.glob(os.path.join(STATE, "q5_*_base*", "ckpt*", "*")):
+        if os.path.isdir(step_dir) and \
+                not step_dir.endswith("-tmp") and os.listdir(step_dir):
+            return True
+    return False
 
 
 def last_json_line(path: str) -> dict:
@@ -73,6 +87,11 @@ def main() -> int:
     ap.add_argument("--stall-s", type=float, default=420.0,
                     help="kill the child after this long with no progress "
                          "signal (evals/saves are silent for ~3-4 min)")
+    ap.add_argument("--stall-s-no-ckpt", type=float, default=960.0,
+                    help="stall threshold while NO resumable checkpoint "
+                         "exists yet: a kill then restarts training from "
+                         "zero, while observed tunnel outages self-recover "
+                         "in ~12 min — waiting dominates killing")
     ap.add_argument("--out", default="/tmp/qscale_supervised.json")
     ap.add_argument("--log", default="/tmp/qscale_supervised.log")
     args = ap.parse_args()
@@ -94,7 +113,9 @@ def main() -> int:
         while proc.poll() is None:
             time.sleep(20)
             idle = time.time() - newest_progress_ts(args.out, args.log)
-            if idle > args.stall_s:
+            stall_s = (args.stall_s if _has_resumable_ckpt()
+                       else args.stall_s_no_ckpt)
+            if idle > stall_s:
                 print(f"[supervisor] attempt {attempt}: no progress for "
                       f"{idle:.0f}s — killing pid {proc.pid}", flush=True)
                 proc.send_signal(signal.SIGKILL)
