@@ -99,6 +99,24 @@ def main() -> int:
     attempt = 0
     while time.time() < args.deadline_ts - 120:
         attempt += 1
+        # tunnel preflight: during an outage (observed: full minutes with
+        # even `jax.devices()` hanging) don't burn an attempt + stall
+        # window per relaunch — wait for the device to answer first
+        while time.time() < args.deadline_ts - 120:
+            try:
+                probe = subprocess.run(
+                    [sys.executable, "-c",
+                     "import jax; jax.devices(); "
+                     "import jax.numpy as jnp; "
+                     "print(float((jnp.ones((8,8))@jnp.ones((8,8)))[0,0]))"],
+                    capture_output=True, timeout=90, env=os.environ)
+                if probe.returncode == 0:
+                    break
+            except subprocess.TimeoutExpired:
+                pass
+            print("[supervisor] tunnel probe failed — waiting 60s",
+                  flush=True)
+            time.sleep(60)
         env = {**os.environ,
                "GDR_BENCH_DEADLINE_TS": str(args.deadline_ts)}
         out_f = open(args.out, "a")
