@@ -441,6 +441,92 @@ def cmd_eval(args) -> None:
     print(json.dumps(out, indent=2, sort_keys=True))
 
 
+def cmd_retrieve(args) -> None:
+    """Ad-hoc retrieval — the serving entry point.
+
+    The reference has no interactive surface; its closest path is the batch
+    eval loop (ref main.py:140-224), which needs a dev TSV with ground
+    truth.  This command runs the same compiled retrieve program the
+    evaluator uses (beam decode → trie expand → dense re-rank → fusion)
+    over free-text queries from ``--query`` (repeatable), ``--queries-file``
+    (one per line), or stdin, and prints the top ``--top-k`` documents per
+    query as TSV (query_idx, rank, doc_id, fused_score, cid) or, with
+    ``--json``, one JSON object per query.
+    """
+    import dataclasses
+    import sys
+
+    import jax
+    import numpy as np
+
+    from gdr_tpu.config import EvalConfig
+    from gdr_tpu.data.tokenize import load_tokenizer
+    from gdr_tpu.eval.evaluator import Evaluator
+    from gdr_tpu.index.io import load_index
+    from gdr_tpu.models.gdr import GenerativeRetriever, init_params
+    from gdr_tpu.train.checkpoint import CheckpointManager
+
+    queries = list(args.query or [])
+    if args.queries_file:
+        with open(args.queries_file) as fh:
+            queries += [ln.strip() for ln in fh if ln.strip()]
+    if not queries:
+        queries = [ln.strip() for ln in sys.stdin if ln.strip()]
+    if not queries:
+        raise SystemExit("no queries (use --query / --queries-file / stdin)")
+
+    index = load_index(args.index)
+    mcfg = _model_config(args, store_dim=index.store.shape[1])
+    tok = load_tokenizer(args.tokenizer, vocab_size=mcfg.vocab_size)
+    if tok.vocab_size != mcfg.vocab_size:
+        mcfg = dataclasses.replace(mcfg, vocab_size=tok.vocab_size)
+
+    model = GenerativeRetriever(mcfg)
+    params = init_params(model, jax.random.PRNGKey(args.seed),
+                         input_len=args.max_input_length)
+    ckpt = CheckpointManager(f"{args.workdir}/ckpt")
+    step, raw = ckpt.restore_raw()
+    if step is not None:
+        params = raw["params"]["generator"]
+        print(f"# restored checkpoint step {step}", file=sys.stderr)
+
+    ev_cfg = EvalConfig(num_beams=args.beam,
+                        num_return_sequences=args.top_k,
+                        max_output_length=mcfg.max_output_length,
+                        score_rates=(args.alpha,),
+                        fused_decode=args.fused_decode,
+                        fused_pawa=args.fused_pawa)
+    evaluator = Evaluator(model, index.trie, index.store, ev_cfg,
+                          mesh=_mesh_from_flag(args.mesh),
+                          packed=args.packed, use_pallas=args.pallas,
+                          quantize=args.int8_store)
+
+    bs = min(args.batch_size, len(queries))
+    if not args.json:
+        print("query_idx\trank\tdoc_id\tscore\tcid")
+    for s in range(0, len(queries), bs):
+        chunk = queries[s:s + bs]
+        padded = chunk + [chunk[0]] * (bs - len(chunk))
+        ids, msk = tok.encode_batch(padded, args.max_input_length)
+        _, rr = evaluator.retrieve(params, ids, msk, batch_idx=s // bs)
+        doc_ids = np.asarray(rr.doc_ids)[0]        # single fusion weight
+        scores = np.asarray(rr.scores)[0]
+        valid = np.asarray(rr.doc_valid)[0]
+        for b, q in enumerate(chunk):
+            hits = [(int(doc_ids[b, r]), float(scores[b, r]))
+                    for r in np.flatnonzero(valid[b])[:args.top_k]]
+            if args.json:
+                print(json.dumps({
+                    "query": q,
+                    "results": [{"doc_id": d, "score": round(sc, 6),
+                                 "cid": index.cid_of_doc[d]}
+                                for d, sc in hits]}))
+            else:
+                for r, (d, sc) in enumerate(hits):
+                    print(f"{s + b}\t{r + 1}\t{d}\t{sc:.6f}"
+                          f"\t{index.cid_of_doc[d]}")
+
+
 def cmd_expand(args) -> None:
     import jax
 
@@ -806,6 +892,43 @@ def build_parser() -> argparse.ArgumentParser:
                          "(ref --multiple_decoder)")
     pe.add_argument("--seed", type=int, default=42)
     pe.set_defaults(fn=cmd_eval)
+
+    pr = sub.add_parser("retrieve",
+                        help="ad-hoc retrieval (serving): free-text "
+                             "queries → ranked documents")
+    _add_common_model_flags(pr)
+    pr.add_argument("--index", required=True)
+    pr.add_argument("--workdir", required=True,
+                    help="run dir holding the trained checkpoint")
+    pr.add_argument("--tokenizer", default=None)
+    pr.add_argument("--query", action="append",
+                    help="query text (repeatable)")
+    pr.add_argument("--queries-file", default=None,
+                    help="file with one query per line (else stdin)")
+    pr.add_argument("--max-input-length", type=int, default=40)
+    pr.add_argument("--beam", type=int, default=100)
+    pr.add_argument("--top-k", type=int, default=10)
+    pr.add_argument("--alpha", type=float, default=1.0,
+                    help="beam-probability fusion weight "
+                         "(ref --score_rate; score = tanh(q·d) + α·p_beam)")
+    pr.add_argument("--batch-size", type=int, default=4,
+                    help="queries per compiled execution")
+    pr.add_argument("--json", action="store_true",
+                    help="one JSON object per query instead of TSV")
+    pr.add_argument("--packed", action="store_true",
+                    help="cluster-packed store (contiguous per-beam slices)")
+    pr.add_argument("--pallas", action="store_true",
+                    help="Pallas re-rank kernel (TPU)")
+    pr.add_argument("--fused-decode", action="store_true",
+                    help="fused Pallas decoder sublayers (TPU)")
+    pr.add_argument("--fused-pawa", action="store_true",
+                    help="EXPERIMENTAL: fused PAWA decode sublayers")
+    pr.add_argument("--int8-store", action="store_true",
+                    help="int8 doc-embedding store (4x smaller)")
+    pr.add_argument("--mesh", default="none",
+                    help="device mesh for the sharded-store re-rank")
+    pr.add_argument("--seed", type=int, default=42)
+    pr.set_defaults(fn=cmd_retrieve)
 
     px = sub.add_parser("expand", help="insert new docs, no retraining")
     px.add_argument("--index", required=True)

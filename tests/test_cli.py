@@ -307,3 +307,50 @@ def test_cli_query_type_mix_and_result_tsv(world, capsys, tmp_path):
     offline = json.loads(out[out.index("{"):])
     # offline metrics recomputed from the TSV must agree with the online run
     assert abs(offline["recall1"] - online["recall1"]) < 1e-9
+
+
+def test_cli_retrieve_serving(world, capsys, tmp_path):
+    """`retrieve` — the serving entry: free-text queries through a trained
+    run dir → ranked docs.  TSV contract (header, 1-based ranks, scores
+    non-increasing, ≤ top-k rows per query) and JSON mode via a queries
+    file through the packed fast path."""
+    tmp = world
+    assert os.path.exists(tmp / "run" / "ckpt"), "runs after the train test"
+    base = ["retrieve", "--index", str(tmp / "index.npz"),
+            "--workdir", str(tmp / "run"), "--model-size", "tiny",
+            "--kary", "3", "--max-output-length", "5",
+            "--max-input-length", "12", "--beam", "4",
+            "--adaptor-layers", "1"]
+    cli.main(base + ["--top-k", "3",
+                     "--query", "find alpha beta gamma item 0",
+                     "--query", "find delta epsilon zeta item 1"])
+    out = capsys.readouterr().out
+    lines = [ln for ln in out.strip().splitlines() if ln]
+    assert lines[0].split("\t") == ["query_idx", "rank", "doc_id",
+                                    "score", "cid"]
+    rows = [ln.split("\t") for ln in lines[1:]]
+    assert rows and all(len(r) == 5 for r in rows)
+    assert {int(r[0]) for r in rows} == {0, 1}
+    from gdr_tpu.index.io import load_index
+    index = load_index(str(tmp / "index.npz"))
+    for q in (0, 1):
+        rq = [r for r in rows if int(r[0]) == q]
+        assert 1 <= len(rq) <= 3
+        assert [int(r[1]) for r in rq] == list(range(1, len(rq) + 1))
+        scores = [float(r[3]) for r in rq]
+        assert scores == sorted(scores, reverse=True)
+        for r in rq:    # cid column is the doc's true cluster id
+            assert r[4] == index.cid_of_doc[int(r[2])]
+
+    qf = tmp_path / "qs.txt"
+    qf.write_text("find eta theta iota item 2\n")
+    cli.main(base + ["--top-k", "2", "--json", "--packed",
+                     "--queries-file", str(qf)])
+    out = capsys.readouterr().out
+    obj = json.loads([ln for ln in out.strip().splitlines()
+                      if ln.startswith("{")][-1])
+    assert obj["query"].startswith("find eta")
+    assert 1 <= len(obj["results"]) <= 2
+    for r in obj["results"]:
+        assert isinstance(r["doc_id"], int)
+        assert r["cid"] == index.cid_of_doc[r["doc_id"]]
