@@ -741,6 +741,12 @@ def _load_msgpack(path: str, template):
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="gdr_tpu")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host coordinator address host:port "
+                        "(auto-detected on TPU pods; single-host runs "
+                        "need nothing)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pi = sub.add_parser("index", help="embed corpus + k-means + trie")
@@ -1009,12 +1015,30 @@ def main(argv=None) -> None:
     # usage errors never pay the jax import.
     import jax
 
+    # honor an explicit JAX_PLATFORMS request: some environments pin the
+    # platform list (e.g. "axon,cpu" on a tunnelled-TPU host) regardless of
+    # the env var, so route it through the config API (see tests/conftest.py)
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
     cache_dir = os.environ.get(
         "GDR_COMPILE_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "gdr_tpu_xla"))
     if cache_dir:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    # multi-host bootstrap (replaces the reference's DDP process management,
+    # main.py:70,86-104): auto-detected from the pod environment, or forced
+    # with --coordinator/--num-processes/--process-id.  After this,
+    # jax.devices() spans all hosts and --mesh auto shards globally.
+    from gdr_tpu.parallel.distributed import initialize, process_info
+    if initialize(args.coordinator, args.num_processes, args.process_id):
+        import sys
+        pi, pc = process_info()
+        print(f"# multi-host: process {pi}/{pc}, "
+              f"{len(jax.devices())} global devices", file=sys.stderr)
 
     args.fn(args)
 

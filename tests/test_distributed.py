@@ -82,3 +82,34 @@ def test_two_process_psum(tmp_path):
     for rc, out, err in outs:
         assert rc == 0, err[-2000:]
         assert "OK" in out, out
+
+
+def test_cli_multihost_bootstrap(tmp_path):
+    """The CLI wires the same bootstrap: `gdr_tpu --coordinator ...
+    --num-processes 2 --process-id i <cmd>` initialises jax.distributed
+    before dispatch (the reference's `--nodes` DDP launch, main.py:70,86-104,
+    with zero per-process env plumbing)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    coord = f"127.0.0.1:{_free_port()}"
+    res = tmp_path / "res.tsv"
+    res.write_text("q1\t3,5,7\t3\t1\nq2\t9,4\t8\t1\n")
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    env.pop("XLA_FLAGS", None)       # one local device per process
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "gdr_tpu.cli",
+         "--coordinator", coord, "--num-processes", "2",
+         "--process-id", str(i),
+         "calculate", "--result", str(res)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for i in range(2)]
+    for i, p in enumerate(procs):
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("CLI multi-host workers timed out")
+        assert p.returncode == 0, err[-2000:]
+        assert f"# multi-host: process {i}/2, 2 global devices" in err, err
+        assert '"recall1": 0.5' in out, out
