@@ -35,14 +35,24 @@ STATE = os.environ.get(
     os.path.join(os.path.expanduser("~"), ".cache", "gdr_bench_state"))
 
 
+def _full_scale_glob(*parts: str) -> list:
+    """Paths under every full-scale quality workdir (q5_* except *_tiny*)."""
+    out = []
+    for wd in glob.glob(os.path.join(STATE, "q5_*")):
+        if "_tiny" in os.path.basename(wd):
+            continue
+        out += glob.glob(os.path.join(wd, *parts))
+    return out
+
+
 def newest_progress_ts(out_path: str, log_path: str) -> float:
     """Newest mtime across everything the child updates while healthy."""
-    # *_base* filter: concurrent tiny-mode runs share the state dir and
-    # their mtimes must not mask a stall of the supervised base-scale child
+    # tiny-mode exclusion: concurrent CPU-smoke runs share the state dir and
+    # their mtimes must not mask a stall of the supervised full-scale child
+    # (any non-tiny preset — base, small, ... — is the supervised run's)
     paths = [out_path, log_path]
-    paths += glob.glob(os.path.join(STATE, "q5_*_base*",
-                                    "train.metrics.jsonl"))
-    paths += glob.glob(os.path.join(STATE, "q5_*_base*", "ckpt*", "*"))
+    paths += _full_scale_glob("train.metrics.jsonl")
+    paths += _full_scale_glob("ckpt*", "*")
     ts = 0.0
     for p in paths:
         try:
@@ -56,7 +66,7 @@ def _has_resumable_ckpt() -> bool:
     """True when any quality workdir holds a FINALIZED orbax step dir
     (an entry not suffixed ``-tmp``) — i.e. a kill would resume, not
     restart from zero."""
-    for step_dir in glob.glob(os.path.join(STATE, "q5_*_base*", "ckpt*", "*")):
+    for step_dir in _full_scale_glob("ckpt*", "*"):
         if os.path.isdir(step_dir) and \
                 not step_dir.endswith("-tmp") and os.listdir(step_dir):
             return True

@@ -101,3 +101,17 @@ def test_base_decfuse_workdir_counts_as_base(state, tmp_path):
     wd = state / "q5_abc_334314_10_128_0.0003_base_decfuse"
     _touch(wd / "train.metrics.jsonl", 4000.0)
     assert sq.newest_progress_ts(str(out), str(out)) == 4000.0
+
+
+def test_full_scale_includes_small_preset(state, tmp_path):
+    """The 50k operating point trains under a *_small workdir — its
+    progress and checkpoints must be visible to the watchdog (a
+    *_base-only filter would false-stall and restart it forever)."""
+    out = _touch(tmp_path / "o.json", 1000.0)
+    wd = state / "q5_abc_50000_12_128_0.0003_small"
+    _touch(wd / "train.metrics.jsonl", 5000.0)
+    assert sq.newest_progress_ts(str(out), str(out)) == 5000.0
+    assert not sq._has_resumable_ckpt()
+    (wd / "ckpt" / "4").mkdir(parents=True)
+    _touch(wd / "ckpt" / "4" / "data", 6000.0)
+    assert sq._has_resumable_ckpt()
