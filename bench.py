@@ -354,6 +354,7 @@ def quality_phase(tiny: bool) -> dict:
                      train_q=np.asarray(train_q), train_pos=train_pos,
                      dev_docs=dev_docs, dev_q=np.asarray(dev_q))
     t_phase["data_gen_s"] = round(time.perf_counter() - t0, 1)
+    snap({"quality_data_gen_s": t_phase["data_gen_s"]})
 
     # ---- product path: subword tokenizer → index → TrainSet -------------
     t0 = time.perf_counter()
@@ -366,6 +367,7 @@ def quality_phase(tiny: bool) -> dict:
         tok = train_unigram(tok_sample + train_q[:4000], vocab_size=8192,
                             path=tok_path)
     t_phase["tokenizer_train_s"] = round(time.perf_counter() - t0, 1)
+    snap({"quality_tokenizer_train_s": t_phase["tokenizer_train_s"]})
 
     t0 = time.perf_counter()
     # k-means paths cache: the store is seed-deterministic, so the digit
@@ -397,6 +399,7 @@ def quality_phase(tiny: bool) -> dict:
                                       for p in index.paths]),
                  lens=np.array([len(p) for p in index.paths], np.int32))
     t_phase["index_build_s"] = round(time.perf_counter() - t0, 1)
+    snap({"quality_index_build_s": t_phase["index_build_s"]})
 
     mcfg = ModelConfig(kary=kary, max_output_length=L,
                        encoder_d_model=dim, vocab_size=tok.vocab_size,
@@ -421,6 +424,7 @@ def quality_phase(tiny: bool) -> dict:
         np.savez(tok_cache, q_ids=q_ids, q_mask=q_mask, d_ids=d_ids,
                  d_mask=d_mask, doc_tok=doc_tok, doc_tok_mask=doc_tok_mask)
     t_phase["tokenize_s"] = round(time.perf_counter() - t0, 1)
+    snap({"quality_tokenize_s": t_phase["tokenize_s"]})
     train_set = build_train_set_from_tokens(q_ids, q_mask,
                                             [int(p) for p in train_pos],
                                             index.paths, mcfg, source="gtq")

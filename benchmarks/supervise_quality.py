@@ -62,14 +62,22 @@ def newest_progress_ts(out_path: str, log_path: str) -> float:
     return ts
 
 
-def _has_resumable_ckpt() -> bool:
+def _has_resumable_ckpt(since: float = 0.0) -> bool:
     """True when any quality workdir holds a FINALIZED orbax step dir
-    (an entry not suffixed ``-tmp``) — i.e. a kill would resume, not
-    restart from zero."""
+    (an entry not suffixed ``-tmp``) written at/after ``since`` — i.e. a
+    kill would resume THIS supervised run, not restart it from zero.
+    ``since`` guards against stale checkpoints from a different operating
+    point (e.g. an abandoned 334k workdir while supervising a 50k run):
+    counting those once shrank the stall threshold to the with-checkpoint
+    value and killed the run mid-compile, losing the whole prep."""
     for step_dir in _full_scale_glob("ckpt*", "*"):
         if os.path.isdir(step_dir) and \
                 not step_dir.endswith("-tmp") and os.listdir(step_dir):
-            return True
+            try:
+                if os.path.getmtime(step_dir) >= since:
+                    return True
+            except OSError:
+                pass
     return False
 
 
@@ -105,6 +113,7 @@ def main() -> int:
     ap.add_argument("--out", default="/tmp/qscale_supervised.json")
     ap.add_argument("--log", default="/tmp/qscale_supervised.log")
     args = ap.parse_args()
+    t_start = time.time()
 
     attempt = 0
     while time.time() < args.deadline_ts - 120:
@@ -141,7 +150,7 @@ def main() -> int:
         while proc.poll() is None:
             time.sleep(20)
             idle = time.time() - newest_progress_ts(args.out, args.log)
-            stall_s = (args.stall_s if _has_resumable_ckpt()
+            stall_s = (args.stall_s if _has_resumable_ckpt(since=t_start)
                        else args.stall_s_no_ckpt)
             if idle > stall_s:
                 print(f"[supervisor] attempt {attempt}: no progress for "

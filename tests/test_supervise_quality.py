@@ -115,3 +115,17 @@ def test_full_scale_includes_small_preset(state, tmp_path):
     (wd / "ckpt" / "4").mkdir(parents=True)
     _touch(wd / "ckpt" / "4" / "data", 6000.0)
     assert sq._has_resumable_ckpt()
+
+
+def test_has_resumable_ckpt_ignores_stale_runs(state):
+    """A finalized checkpoint from a PREVIOUS run (older than the
+    supervisor's start) must not count — it once shrank the stall
+    threshold while a fresh run was still compiling, killing it."""
+    ck = state / "q5_old_334314_10_128_0.0003_base" / "ckpt"
+    (ck / "9").mkdir(parents=True)
+    _touch(ck / "9" / "data", 100.0)
+    os.utime(ck / "9", (100.0, 100.0))
+    assert sq._has_resumable_ckpt()                 # absolute: it exists
+    assert not sq._has_resumable_ckpt(since=200.0)  # but not for this run
+    os.utime(ck / "9", (300.0, 300.0))
+    assert sq._has_resumable_ckpt(since=200.0)
