@@ -649,10 +649,16 @@ def quality_phase(tiny: bool) -> dict:
     f_epochs = 1 if tiny else max(2, epochs // 2)
     # training a second checkpoint only makes sense when its epochs fit the
     # remaining budget (same model size ⇒ same per-epoch cost as the main
-    # run); at the 334k/base point this correctly skips
+    # run); at the 334k/base point this correctly skips.  The decoder_avg
+    # run also compiles a DIFFERENT train program — through the tunnel that
+    # cold compile alone was observed >430 s, so reserve an explicit
+    # allowance on top of the epoch estimate or a budget-bounded phase
+    # burns its whole tail inside the compile and reports nothing for it
+    compile_allow = 0 if tiny else 540
     if time.time() < dl - (20 if tiny else 300) and (
             est is None or tiny
-            or time.time() + 1.2 * f_epochs * est < dl - 300):
+            or time.time() + 1.2 * f_epochs * est + compile_allow
+            < dl - 300):
         cfg_f = dataclasses.replace(
             cfg,
             model=dataclasses.replace(mcfg, query_source="decoder_avg"),
