@@ -495,8 +495,11 @@ def quality_phase(tiny: bool) -> dict:
                                   else dl - reserve))
     t_phase["train_s"] = round(time.perf_counter() - t0, 1)
     est = _epoch_cost_estimate(workdir) or est   # refresh from this run
-    epochs_ran = int(loop.last_epoch_metrics.get("epoch", -1)) + 1
-    snap({"quality_epochs_ran": epochs_ran or loop.start_epoch,
+    # max(…, start_epoch): on a resumed completed run last_epoch_metrics
+    # reflects the BEST checkpoint (e.g. epoch 8), not epochs trained
+    epochs_ran = max(int(loop.last_epoch_metrics.get("epoch", -1)) + 1,
+                     loop.start_epoch)
+    snap({"quality_epochs_ran": epochs_ran,
           "quality_train_s": t_phase["train_s"]})
     log(f"quality: TrainLoop best={ {k: round(v, 4) for k, v in best.items() if isinstance(v, float)} }")
 
@@ -528,7 +531,7 @@ def quality_phase(tiny: bool) -> dict:
         metrics[f"MRR10_{a}"] for a in alphas), 4)
     out["quality_cluster_recall1"] = round(metrics["cluster_recall1"], 4)
     out["quality_n_docs"] = n_docs
-    out["quality_epochs_ran"] = epochs_ran or loop.start_epoch
+    out["quality_epochs_ran"] = epochs_ran
     # the two-stage schedule's live-tower epochs (refreshed store): recall
     # at the stage-2 operating point, from the TrainLoop's own eval
     for k in ("recall10_0.0", "recall10_1.0"):
