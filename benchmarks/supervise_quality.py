@@ -14,7 +14,7 @@ as-is (bench.py's budget guard).
 
 Usage:
     python benchmarks/supervise_quality.py --deadline-ts <unix ts> \
-        [--stall-s 420] [--out /tmp/qscale.json] [--log /tmp/qscale.log]
+        [--stall-s 720] [--out /tmp/qscale.json] [--log /tmp/qscale.log]
 
 Scale comes from the persistent q_scale.json manifest plus any
 GDR_BENCH_Q_* env vars already exported, exactly like a direct phase run.
@@ -102,9 +102,14 @@ def main() -> int:
     ap.add_argument("--deadline-ts", type=float, required=True,
                     help="absolute unix deadline for the WHOLE supervised "
                          "run (passed to each child as its phase deadline)")
-    ap.add_argument("--stall-s", type=float, default=420.0,
+    ap.add_argument("--stall-s", type=float, default=720.0,
                     help="kill the child after this long with no progress "
-                         "signal (evals/saves are silent for ~3-4 min)")
+                         "signal.  Must exceed the longest LEGITIMATE "
+                         "silent window: a fresh program's cold compile "
+                         "through the tunnel (observed ~8 min for the "
+                         "expansion/decfuse evaluators — 420 s killed two "
+                         "such compiles mid-flight, and a killed compile "
+                         "never reaches the persistent cache)")
     ap.add_argument("--stall-s-no-ckpt", type=float, default=960.0,
                     help="stall threshold while NO resumable checkpoint "
                          "exists yet: a kill then restarts training from "
