@@ -98,6 +98,34 @@ def emit(final: bool = False) -> None:
     print(json.dumps(SUMMARY), flush=True)
 
 
+def _wait_for_device() -> bool:
+    """Outage guard: the axon tunnel can be mid-outage when the bench
+    starts (observed 2026-08-19: ``jax.devices()`` hanging >25 min).  An
+    in-process device call would hang the whole run to the driver's kill
+    with NO parseable summary (the BENCH_r03 failure shape).  Probe the
+    device in a SUBPROCESS with a timeout and wait while the budget allows;
+    on a CPU-forced run there is nothing to probe."""
+    import subprocess
+    if (os.environ.get("JAX_PLATFORMS", "").strip().lower() or "tpu") \
+            == "cpu":
+        return True
+    while True:
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); import jax.numpy as jnp; "
+                 "print(float((jnp.ones((4,4))@jnp.ones((4,4)))[0,0]))"],
+                capture_output=True, timeout=90, env=os.environ)
+            if p.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if remaining_s() < 240:
+            return False
+        log("device probe failed (tunnel outage?) — waiting 60s")
+        time.sleep(60)
+
+
 def _on_signal(signum, frame):
     log(f"bench: received signal {signum} — emitting partial summary")
     child = _CHILD
@@ -967,6 +995,11 @@ def main() -> None:
     # persistent compile cache (in HOME: survives the driver's fresh
     # checkout each round): bench re-runs skip XLA compilation
     _setup_compile_cache(jax)
+
+    if not _wait_for_device():
+        SUMMARY["error"] = "tpu device unreachable for the whole budget"
+        emit(final=True)
+        return
 
     from gdr_tpu.config import EvalConfig, ModelConfig
     from gdr_tpu.eval.evaluator import Evaluator
