@@ -715,7 +715,8 @@ def cmd_ingest(args) -> None:
 
 def cmd_calculate(args) -> None:
     from gdr_tpu.eval.offline import calculate
-    print(json.dumps(calculate(args.result), indent=2, sort_keys=True))
+    print(json.dumps(calculate(args.result, ref_compat=args.ref_compat),
+                     indent=2, sort_keys=True))
 
 
 def cmd_tokenizer(args) -> None:
@@ -949,6 +950,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     pc = sub.add_parser("calculate", help="offline metrics from result TSV")
     pc.add_argument("--result", required=True)
+    pc.add_argument("--ref-compat", action="store_true",
+                    help="score with the reference's exact semantics "
+                         "(hits@k over row-accumulated gt, per-row MRR100 "
+                         "— main_metrics.py:194-267); default is the "
+                         "cleaner per-query fraction-recall (PARITY.md)")
     pc.set_defaults(fn=cmd_calculate)
 
     pn = sub.add_parser("ingest", help="raw NQ jsonl / pickle corpus → "

@@ -26,8 +26,13 @@ def initialize(coordinator_address: Optional[str] = None,
     arguments are auto-detected from the TPU metadata environment.
     """
     explicit = coordinator_address is not None
-    auto = any(v in os.environ for v in (
-        "COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS"))
+    # TPU_WORKER_HOSTNAMES with a SINGLE host is not a pod: dev tunnels
+    # (axon) export it as "localhost", and auto-initialising there aborts
+    # every CLI run with "coordinator_address should be defined"
+    workers = [h for h in
+               os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",") if h]
+    auto = (len(workers) > 1 or any(v in os.environ for v in (
+        "COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS")))
     if not explicit and not auto:
         return False
     kwargs = {}
@@ -39,9 +44,11 @@ def initialize(coordinator_address: Optional[str] = None,
         kwargs["process_id"] = process_id
     try:
         jax.distributed.initialize(**kwargs)
-    except RuntimeError as e:
-        # backends already initialised (single-process dev/tunnel session) or
-        # double-call — treat as single-process
+    except (RuntimeError, ValueError) as e:
+        # backends already initialised (single-process dev/tunnel session),
+        # double-call, or auto-detection without a resolvable coordinator —
+        # treat as single-process
+        del e
         if explicit:
             raise
         return False

@@ -113,3 +113,14 @@ def test_cli_multihost_bootstrap(tmp_path):
         assert p.returncode == 0, err[-2000:]
         assert f"# multi-host: process {i}/2, 2 global devices" in err, err
         assert '"recall1": 0.5' in out, out
+
+
+def test_single_worker_hostnames_is_not_a_pod(monkeypatch):
+    """Dev tunnels export TPU_WORKER_HOSTNAMES=localhost (one host); the
+    bootstrap must treat that as single-process instead of aborting every
+    CLI run with 'coordinator_address should be defined'."""
+    from gdr_tpu.parallel.distributed import initialize
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("MEGASCALE_COORDINATOR_ADDRESS", raising=False)
+    assert initialize(None, None, None) is False
