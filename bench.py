@@ -231,6 +231,9 @@ def _semantic_key(cfg, doc_tower, input_len: int) -> str:
                             default=str).encode())
     h.update(repr(doc_tower).encode())       # flax Module: fields in repr
     h.update(inspect.getsource(_gen_quality_data).encode())
+    # warm start changes what the trained checkpoint IS (the reference
+    # finetunes pretrained t5-base, main_models.py:786-793)
+    h.update(os.environ.get("GDR_BENCH_Q_T5_CKPT", "").encode())
     model = GenerativeRetriever(cfg.model)
     shapes = jax.eval_shape(
         lambda k: init_params(model, k, input_len=input_len),
@@ -559,8 +562,27 @@ def quality_phase(tiny: bool) -> dict:
                 log(f"quality: adopted legacy workdir "
                     f"{os.path.basename(src)} -> {os.path.basename(dst)}")
     _record_provenance(workdir)
+    # pretrained warm start through the product hook (TrainLoop(warm_start=)
+    # → models/convert.py, the same path `cli train --t5-ckpt` takes; ref
+    # main_models.py:786-793).  GDR_BENCH_Q_T5_CKPT: an HF T5 dir or an
+    # export_t5_encoder .npz whose shapes match this operating point — no
+    # pretrained t5-base ships in this zero-egress image, so the hook stays
+    # env-gated; the from-scratch fallback is the manifest's warmup/lr.
+    warm = None
+    t5_env = os.environ.get("GDR_BENCH_Q_T5_CKPT")
+    if t5_env:
+        def warm(params):
+            from gdr_tpu.models import convert
+            sd = convert.state_dict_from_pretrained(t5_env)
+            params = dict(params)
+            params["generator"] = convert.load_t5_encoder(
+                params["generator"], sd, mcfg.num_layers)
+            log(f"quality: warm-started T5 encoder + shared embeddings "
+                f"from {t5_env}")
+            return params
     t0 = time.perf_counter()
     loop = TrainLoop(cfg, index, train_set, dev, workdir=workdir, seed=0,
+                     warm_start=warm,
                      doc_tokens=doc_tok, doc_tok_mask=doc_tok_mask,
                      doc_encoder=doc_tower,
                      # denser cadence (env) lets a budget-bounded resume

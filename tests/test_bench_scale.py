@@ -9,6 +9,8 @@ import json
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench  # noqa: E402
@@ -91,3 +93,48 @@ def test_source_hash_ignores_serialization_code(tmp_path):
         assert bench._source_hash() != base
     finally:
         q.write_bytes(orig_q)
+
+
+@pytest.mark.slow
+def test_quality_phase_warm_start_hook(monkeypatch, tmp_path, capsys):
+    """GDR_BENCH_Q_T5_CKPT routes the bench quality phase through the
+    product warm start (TrainLoop(warm_start=) -> convert.load_t5_encoder),
+    and the workdir key reflects it (a warm-started checkpoint is a
+    different artifact).  Donates an exported tiny encoder instead of a
+    downloaded t5-base (VERDICT r4 next #1)."""
+    import dataclasses
+
+    import numpy as np
+
+    monkeypatch.setenv("GDR_BENCH_STATE_DIR", str(tmp_path))
+    monkeypatch.delenv("GDR_BENCH_Q_T5_CKPT", raising=False)
+    out_cold = bench.quality_phase(tiny=True)
+    assert "quality_recall10" in out_cold
+    cold_dirs = {p.name for p in tmp_path.glob("q6_*")}
+
+    # export a donor encoder with the exact shapes the tiny phase builds
+    from gdr_tpu.config import ModelConfig
+    from gdr_tpu.data.subword import SubwordTokenizer
+    from gdr_tpu.models import convert
+    from gdr_tpu.models.gdr import GenerativeRetriever, init_params
+    import jax
+    tok = SubwordTokenizer(str(next(tmp_path.glob("tok_q5_*.json"))))
+    sc = bench._quality_scale(tiny=True)
+    mcfg = ModelConfig(kary=sc["kary"], max_output_length=sc["L"],
+                       encoder_d_model=sc["dim"], vocab_size=tok.vocab_size,
+                       adaptor_layer_num=2,
+                       input_dropout=0.0).scaled(sc["preset"])
+    donor = init_params(GenerativeRetriever(mcfg), jax.random.PRNGKey(42),
+                        input_len=sc["seq_len"])
+    sd = convert.export_t5_encoder(donor, mcfg.num_layers)
+    npz = tmp_path / "donor_encoder.npz"
+    np.savez(npz, **sd)
+
+    monkeypatch.setenv("GDR_BENCH_Q_T5_CKPT", str(npz))
+    capsys.readouterr()
+    out_warm = bench.quality_phase(tiny=True)
+    err = capsys.readouterr().err
+    assert "warm-started T5 encoder" in err
+    assert "quality_recall10" in out_warm
+    warm_dirs = {p.name for p in tmp_path.glob("q6_*")} - cold_dirs
+    assert warm_dirs, "warm start must key a distinct workdir"
