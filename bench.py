@@ -1176,13 +1176,9 @@ def main() -> None:
     # fused Pallas decoder sublayers for the full-width beam steps
     # (ops/pallas/decode_kernel.py); GDR_BENCH_FUSED=0 reverts to pure XLA
     fused = (not tiny) and os.environ.get("GDR_BENCH_FUSED", "1") == "1"
-    # PAWA adaptor kernels: default OFF until hardware-validated (flip via
-    # GDR_BENCH_FUSED_PAWA=1 after profiling on a real chip)
-    fused_pawa = fused and os.environ.get("GDR_BENCH_FUSED_PAWA", "0") == "1"
     ev_cfg = EvalConfig(num_beams=beams, num_return_sequences=beams,
                         max_output_length=cfg.max_output_length,
-                        length_penalty=0.8, fused_decode=fused,
-                        fused_pawa=fused_pawa)
+                        length_penalty=0.8, fused_decode=fused)
     # cluster-packed store: one contiguous DMA per beam in the re-rank
     # (Pallas kernel) instead of a per-row XLA gather
     evaluator = Evaluator(model, trie, store, ev_cfg,
@@ -1210,9 +1206,8 @@ def main() -> None:
         # benchmark — fall back to the pure-XLA decode and keep going
         log(f"fused decode failed ({type(e).__name__}: {e}); "
             "falling back to the XLA path")
-        fused = fused_pawa = False
-        ev_cfg = dataclasses.replace(ev_cfg, fused_decode=False,
-                                     fused_pawa=False)
+        fused = False
+        ev_cfg = dataclasses.replace(ev_cfg, fused_decode=False)
         evaluator = Evaluator(model, trie, store, ev_cfg,
                               packed=True, use_pallas=not tiny)
         res, rr = evaluator.retrieve_many(params, input_ids, attn)
@@ -1244,7 +1239,7 @@ def main() -> None:
         f"({total*1e3:.1f} ms total); per-batch ms: "
         f"{np.array2string(lat_ms, precision=1)}")
     SUMMARY.update(value=round(qps, 2), vs_baseline=round(qps / 50.0, 3),
-                   fused_decode=fused, fused_pawa=fused_pawa)
+                   fused_decode=fused)
     emit()
 
     extra = SUMMARY     # every section below merges into the live summary
@@ -1266,8 +1261,7 @@ def main() -> None:
             log(f"batch-1 fused decode failed ({type(e).__name__}: {e}); "
                 "measuring latency on the XLA path")
             ev1 = Evaluator(model, trie, store,
-                            dataclasses.replace(ev_cfg, fused_decode=False,
-                                                fused_pawa=False),
+                            dataclasses.replace(ev_cfg, fused_decode=False),
                             packed=True, use_pallas=not tiny)
             r1, rr1 = ev1.retrieve(params, ids1, attn1)
             materialize(r1, rr1)

@@ -54,8 +54,7 @@ def main() -> None:
         def f(params, ids, msk, ut):
             res, q, enc = B.generate_cids(model, params, ids, msk, children,
                                           eos, beams, max_len, 0.8,
-                                          u_table=ut, fused=fused,
-                                          fused_pawa=False)
+                                          u_table=ut, fused=fused)
             return res.sequences, res.scores
         seqs, scores = f(params, ids, msk, u_table)
         return np.asarray(seqs), np.asarray(scores)

@@ -61,13 +61,12 @@ def main() -> None:
     ids = jnp.asarray(rng.integers(2, cfg.vocab_size, (b, 40)), jnp.int32)
     msk = jnp.ones((b, 40), jnp.int32)
 
-    def run_case(name, fused, fused_pawa):
+    def run_case(name, fused):
         @jax.jit
         def f(params, ids, msk, ut):
             res, q, enc = B.generate_cids(model, params, ids, msk, children,
                                           eos, beams, max_len, 0.8,
-                                          u_table=ut, fused=fused,
-                                          fused_pawa=fused_pawa)
+                                          u_table=ut, fused=fused)
             return res.sequences, res.scores
         t0 = time.perf_counter()
         try:
@@ -87,9 +86,10 @@ def main() -> None:
         log(f"{name}: steady {best:.1f} ms/exec ({b} queries, beam {beams})")
         return best, np.asarray(seqs)
 
-    t_xla, s_xla = run_case("xla", False, False)
-    t_f, s_f = run_case("fused", True, False)
-    t_fp, s_fp = run_case("fused+pawa", True, True)
+    t_xla, s_xla = run_case("xla", False)
+    t_f, s_f = run_case("fused", True)
+    # (a fused+pawa case existed through round 4; the PAWA sublayer kernels
+    # measured slower than XLA twice and were removed — PARITY.md)
 
     def parity(name, s_other):
         # On untrained weights, beams are near-ties and bf16 accumulation-
@@ -104,12 +104,10 @@ def main() -> None:
 
     if s_f is not None and s_xla is not None:
         parity("fused", s_f)
-    if s_fp is not None and s_xla is not None:
-        parity("fused+pawa", s_fp)
-    if t_fp is not None and t_f is not None:
-        verdict = ("FLIP GDR_BENCH_FUSED_PAWA=1 (and the bench default)"
-                   if t_fp < t_f else "keep fused_pawa off")
-        log(f"verdict: {verdict} (fused {t_f:.1f} ms vs +pawa {t_fp:.1f} ms)")
+    if t_f is not None and t_xla is not None:
+        verdict = ("keep fused_decode on" if t_f < t_xla
+                   else "fused decode regressed - investigate")
+        log(f"verdict: {verdict} (xla {t_xla:.1f} ms vs fused {t_f:.1f} ms)")
 
 
 if __name__ == "__main__":

@@ -428,8 +428,7 @@ def cmd_eval(args) -> None:
                         gen_method=args.gen_method,
                         temperature=args.temperature,
                         sample_top_k=args.sample_top_k,
-                        fused_decode=args.fused_decode,
-                        fused_pawa=args.fused_pawa)
+                        fused_decode=args.fused_decode)
     evaluator = Evaluator(model, index.trie, index.store, ev_cfg,
                           mesh=_mesh_from_flag(args.mesh),
                           packed=args.packed, use_pallas=args.pallas,
@@ -494,8 +493,7 @@ def cmd_retrieve(args) -> None:
                         num_return_sequences=args.top_k,
                         max_output_length=mcfg.max_output_length,
                         score_rates=(args.alpha,),
-                        fused_decode=args.fused_decode,
-                        fused_pawa=args.fused_pawa)
+                        fused_decode=args.fused_decode)
     evaluator = Evaluator(model, index.trie, index.store, ev_cfg,
                           mesh=_mesh_from_flag(args.mesh),
                           packed=args.packed, use_pallas=args.pallas,
@@ -877,11 +875,6 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--fused-decode", action="store_true",
                     help="fused Pallas decoder sublayers for the full-width "
                          "beam steps (TPU)")
-    pe.add_argument("--fused-pawa", action="store_true",
-                    help="EXPERIMENTAL: also fuse the PAWA adaptor decode "
-                         "sublayers (measured slower than XLA on v5e — "
-                         "48.2 vs 45.5 ms/exec; profile with "
-                         "benchmarks/hw_preflight.py before enabling)")
     pe.add_argument("--int8-store", action="store_true",
                     help="hold the doc-embedding store as per-row int8 "
                          "(4x smaller; dequantising dot in the re-rank). "
@@ -928,8 +921,6 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Pallas re-rank kernel (TPU)")
     pr.add_argument("--fused-decode", action="store_true",
                     help="fused Pallas decoder sublayers (TPU)")
-    pr.add_argument("--fused-pawa", action="store_true",
-                    help="EXPERIMENTAL: fused PAWA decode sublayers")
     pr.add_argument("--int8-store", action="store_true",
                     help="int8 doc-embedding store (4x smaller)")
     pr.add_argument("--mesh", default="none",

@@ -218,10 +218,9 @@ class EvalConfig:
     # fused Pallas decoder sublayers for the full-width beam steps
     # (ops/pallas/decode_kernel.py): same math, activations stay in VMEM
     fused_decode: bool = False
-    # also fuse the PAWA adaptor's decode sublayers (pawa_* kernels);
-    # separate knob so the hardware-validated decoder fusion isn't coupled
-    # to the newer adaptor kernels
-    fused_pawa: bool = False
+    # (a fused_pawa sibling existed through round 4: PAWA-adaptor sublayer
+    # kernels, hardware-measured SLOWER than XLA's own fusion and removed —
+    # PARITY.md "fused PAWA")
 
 
 @dataclass(frozen=True)

@@ -232,14 +232,13 @@ class Evaluator:
                 temperature=cfg.temperature, top_k=cfg.sample_top_k,
                 length_penalty=cfg.length_penalty,
                 accumulate_hidden=want_dec, u_table=u_table,
-                fused=cfg.fused_decode, fused_pawa=cfg.fused_pawa)
+                fused=cfg.fused_decode)
         else:   # "beam" (the reference's "greedy" mode is also beam search)
             res, q_emb, enc = generate_cids(
                 self.model, params, input_ids, attn_mask, children,
                 eos, cfg.num_beams, self._max_len,
                 cfg.length_penalty, accumulate_hidden=want_dec,
-                u_table=u_table, fused=cfg.fused_decode,
-                fused_pawa=cfg.fused_pawa)
+                u_table=u_table, fused=cfg.fused_decode)
         if want_dec:
             # decoder-side reps pooled inside the beam carry — no B·K
             # teacher-forced re-run (the round-1 eval hot spot)

@@ -357,8 +357,7 @@ class GenerativeRetriever(nn.Module):
                                enc_mask: Array, pos: Array,
                                num_beams: int = 1,
                                return_hidden: bool = False,
-                               fused: bool = False,
-                               fused_pawa: bool = False):
+                               fused: bool = False):
         """Decode fast path: logits for ONLY the step's candidate tokens.
 
         With the positional codec, position ``pos`` can emit exactly the
@@ -394,8 +393,7 @@ class GenerativeRetriever(nn.Module):
             cand = jnp.einsum("bd,vd->bv", s, w_cand,
                               preferred_element_type=jnp.float32)
             if c.adaptor_decode:
-                a_t, cache = self.pawa.decode_step(x, cache, pos,
-                                                   fused=fused_pawa)
+                a_t, cache = self.pawa.decode_step(x, cache, pos)
                 if "cross_ucand" in cache:
                     cand = cand + self.pawa.delta_candidates_from_table(
                         a_t[:, 0], s, cache["cross_ucand"], pos, kary)

@@ -240,24 +240,17 @@ class PawaAdaptor(nn.Module):
         return cache
 
     def decode_step(self, embed_t: Array, cache: dict[str, Array],
-                    pos: Array, fused: bool = False
-                    ) -> tuple[Array, dict[str, Array]]:
+                    pos: Array) -> tuple[Array, dict[str, Array]]:
         """One incremental adaptor step.  embed_t: [B, 1, d].
 
-        ``fused``: run each sublayer as one fused Pallas kernel
-        (ops/pallas/decode_kernel.py pawa_* — same math/rounding as this
-        path, post-norm LayerNorm semantics included)."""
+        XLA-only by decision: fused Pallas sublayers for this adaptor were
+        built, hardware-profiled twice, and measured SLOWER than XLA's own
+        fusion of the same math (48.2 vs 45.5 ms/exec at the beam-100
+        operating point; remaining small-fusion upside ~7.4 ms — see
+        PARITY.md "fused PAWA"), so the kernels were removed.  The decoder
+        sublayer kernels (fused_decode) remain — those measured faster."""
         memory = self.memory.astype(self.dtype)          # [1, 1, d]
         cache = dict(cache)
-        if fused:
-            from gdr_tpu.ops.pallas.decode_kernel import fused_step_supported
-            fused = fused_step_supported(
-                embed_t.shape[0], d=self.d_model,
-                d_ff=self.d_ff or min(4 * self.d_model, 2048),
-                heads=self.num_heads, d_kv=self.d_model // self.num_heads,
-                lmax=cache["tm_pawa_k_0"].shape[0])
-        if fused:
-            return self._decode_step_fused(embed_t, cache, pos, memory)
         x = embed_t
         for i, layer in enumerate(self.layers):
             x, ck, cv = layer.decode_step(
@@ -266,33 +259,6 @@ class PawaAdaptor(nn.Module):
             cache[f"tm_pawa_k_{i}"] = ck
             cache[f"tm_pawa_v_{i}"] = cv
         return x, cache
-
-    def _decode_step_fused(self, embed_t, cache, pos, memory):
-        from gdr_tpu.ops.pallas.decode_kernel import (pawa_attn_sublayer,
-                                                      pawa_ffn_sublayer)
-        interp = jax.default_backend() != "tpu"
-        heads = self.num_heads
-        d_kv = self.d_model // heads
-        x = embed_t[:, 0]
-        for i, layer in enumerate(self.layers):
-            att = layer.self_attn
-            p = lambda m: m.variables["params"]["kernel"]
-            wqkv = jnp.concatenate([p(att.q), p(att.k), p(att.v)], axis=1)
-            lnp = lambda ln: (ln.variables["params"]["scale"],
-                              ln.variables["params"]["bias"])
-            s1, b1 = lnp(layer.ln1)
-            s2, b2 = lnp(layer.ln2)
-            x, ck, cv = pawa_attn_sublayer(
-                x, pos, wqkv, p(att.o), layer.memory_out(memory)[0],
-                s1, b1, s2, b2,
-                cache[f"tm_pawa_k_{i}"], cache[f"tm_pawa_v_{i}"],
-                heads=heads, d_kv=d_kv, interpret=interp)
-            cache[f"tm_pawa_k_{i}"] = ck
-            cache[f"tm_pawa_v_{i}"] = cv
-            s3, b3 = lnp(layer.ln3)
-            x = pawa_ffn_sublayer(x, p(layer.ff1), p(layer.ff2), s3, b3,
-                                  interpret=interp)
-        return x[:, None], cache
 
     def delta_logits(self, adaptor_out: Array, decoder_out: Array) -> Array:
         """Σ_ij A[...,j]·s[...,i]·U[j,v,i] without the [.., L, d, V] blow-up.

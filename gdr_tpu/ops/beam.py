@@ -349,8 +349,7 @@ def sample_cids(model, params, input_ids: Array, attn_mask: Array,
                 top_k: int = 0, length_penalty: float = 1.0,
                 accumulate_hidden: bool = False,
                 u_table: Array | None = None,
-                fused: bool = False,
-                fused_pawa: bool = False
+                fused: bool = False
                 ) -> tuple[BeamResult, Array, Array]:
     """Stochastic CID decoding — the reference's ``gen_method top_k`` /
     ``do_sample`` inference modes (main.py:189-204) as one compiled program.
@@ -381,7 +380,7 @@ def sample_cids(model, params, input_ids: Array, attn_mask: Array,
         # sampling rollouts run at constant width, so (unlike beam search's
         # progressive warmup) the fused Pallas sublayers apply to EVERY step
         return model.apply(params, cur_tok, cache, attn_mask, pos, width,
-                           accumulate_hidden, fused, fused_pawa,
+                           accumulate_hidden, fused,
                            method=model.decode_step_candidates)
 
     bk = batch * num_samples
@@ -451,7 +450,6 @@ def generate_cids(model, params, input_ids: Array, attn_mask: Array,
                   accumulate_hidden: bool = False,
                   u_table: Array | None = None,
                   fused: bool = False,
-                  fused_pawa: bool = False,
                   early_exit: bool = True
                   ) -> tuple[BeamResult, Array, Array]:
     """Encode queries once and run the constrained search with progressive
@@ -491,7 +489,6 @@ def generate_cids(model, params, input_ids: Array, attn_mask: Array,
         full = width == num_beams
         return model.apply(params, cur_tok, cache, attn_mask, pos, width,
                            accumulate_hidden, fused and full,
-                           fused_pawa and full,
                            method=model.decode_step_candidates)
 
     result = beam_search(step_fn, cache, batch, num_beams,

@@ -422,160 +422,3 @@ def ffn_sublayer(x: Array, ln_scale: Array, wi: Array, wo: Array,
         ],
         interpret=interpret,
     )(x, ln_scale.reshape(1, d).astype(jnp.float32), wi, wo)
-
-
-# ----------------------------------------------------- PAWA adaptor sublayers
-#
-# The PAWA adaptor (models/pawa.py PawaLayer) is a torch-TransformerDecoder-
-# style POST-norm block: self-attn (no rel bias, no pre-norm) → LayerNorm →
-# (+ constant memory out) → LayerNorm → FFN → LayerNorm.  Its decode steps
-# are the remaining XLA sublayers in the fused beam-decode hot loop; these
-# kernels give them the same treatment as the decoder sublayers above.
-# LayerNorm rounding matches flax.linen.LayerNorm at bf16 exactly: f32
-# fast-variance stats and affine, ONE final cast to the model dtype
-# (verified bit-equal against nn.LayerNorm).
-
-
-def _layer_norm(x: Array, scale_ref, bias_ref, eps: float = 1e-5) -> Array:
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
-    y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    return (y * scale_ref[:] + bias_ref[:]).astype(x.dtype)
-
-
-def _pawa_attn_kernel(pos_ref, x_ref, mem_ref, ln1s_ref, ln1b_ref,
-                      ln2s_ref, ln2b_ref, wqkv_hbm, wo_hbm, ck_hbm, cv_hbm,
-                      out_ref, ck_out, cv_out,
-                      wqkv_s, wo_s, kall, vall, kloc, vloc, sems,
-                      *, heads: int, d_kv: int, lmax: int, rows: int):
-    c = pl.program_id(0)
-    pos = pos_ref[0]
-    # NO pre-norm and no rel bias: the PAWA block attends to the raw input
-    h_out = _cached_self_attention(
-        x_ref[:], x_ref.dtype, pos, c, c * rows, None,
-        wqkv_hbm, wo_hbm, ck_hbm, cv_hbm, ck_out, cv_out,
-        wqkv_s, wo_s, kall, vall, kloc, vloc, sems,
-        heads=heads, d_kv=d_kv, lmax=lmax, rows=rows)
-    y = x_ref[:] + h_out.astype(x_ref.dtype)               # residual
-    y = _layer_norm(y, ln1s_ref, ln1b_ref)                 # post-norm 1
-    y = y + mem_ref[:].astype(y.dtype)                     # + memory out
-    out_ref[:] = _layer_norm(y, ln2s_ref, ln2b_ref)        # post-norm 2
-
-
-def pawa_attn_sublayer(x: Array, pos: Array, wqkv: Array, wo: Array,
-                       mem_out: Array, ln1_scale: Array, ln1_bias: Array,
-                       ln2_scale: Array, ln2_bias: Array,
-                       ck: Array, cv: Array, *, heads: int, d_kv: int,
-                       block_rows: int = 512, interpret: bool = False
-                       ) -> tuple[Array, Array, Array]:
-    """PAWA self-attn sublayer: attn (no pre-norm, no rel bias) → +residual
-    → LN1 → + ``mem_out`` (the constant single-memory-token cross-attn
-    output, PawaLayer.memory_out) → LN2.
-
-    x: [R, d]; wqkv: [d, 3·inner]; wo: [inner, d]; mem_out: [1, d];
-    ck/cv: [L, R, inner] time-major caches (updated in place)."""
-    r, d = x.shape
-    lmax = ck.shape[0]
-    inner = heads * d_kv
-    fixed = (3 * d * inner + inner * d) * 2
-    per_row = (2 * lmax * inner * 2 + 2 * inner * 2 + 3 * inner * 4
-               + 4 * d * 2)
-    block_rows = _pick_block_rows(r, block_rows, fixed, per_row)
-    n_blocks = r // block_rows
-    kernel = functools.partial(_pawa_attn_kernel, heads=heads, d_kv=d_kv,
-                               lmax=lmax, rows=block_rows)
-    f32 = jnp.float32
-    return pl.pallas_call(
-        kernel,
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),                 # pos
-            pl.BlockSpec((block_rows, d), lambda c: (c, 0)),       # x
-            pl.BlockSpec((1, d), lambda c: (0, 0)),                # mem
-            pl.BlockSpec((1, d), lambda c: (0, 0)),                # ln1 s
-            pl.BlockSpec((1, d), lambda c: (0, 0)),                # ln1 b
-            pl.BlockSpec((1, d), lambda c: (0, 0)),                # ln2 s
-            pl.BlockSpec((1, d), lambda c: (0, 0)),                # ln2 b
-            pl.BlockSpec(memory_space=pl.ANY),                  # wqkv
-            pl.BlockSpec(memory_space=pl.ANY),                  # wo
-            pl.BlockSpec(memory_space=pl.ANY),                  # ck
-            pl.BlockSpec(memory_space=pl.ANY),                  # cv
-        ],
-        out_specs=[
-            pl.BlockSpec((block_rows, d), lambda c: (c, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((r, d), x.dtype),
-            jax.ShapeDtypeStruct(ck.shape, ck.dtype),
-            jax.ShapeDtypeStruct(cv.shape, cv.dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((d, 3 * inner), wqkv.dtype),
-            pltpu.VMEM((inner, d), wo.dtype),
-            pltpu.VMEM((lmax, block_rows, inner), ck.dtype),
-            pltpu.VMEM((lmax, block_rows, inner), cv.dtype),
-            pltpu.VMEM((block_rows, inner), x.dtype),
-            pltpu.VMEM((block_rows, inner), x.dtype),
-            pltpu.SemaphoreType.DMA((6,)),
-        ],
-        input_output_aliases={9: 1, 10: 2},
-        interpret=interpret,
-    )(jnp.reshape(pos.astype(jnp.int32), (1,)), x,
-      mem_out.reshape(1, d), ln1_scale.reshape(1, d).astype(f32),
-      ln1_bias.reshape(1, d).astype(f32),
-      ln2_scale.reshape(1, d).astype(f32),
-      ln2_bias.reshape(1, d).astype(f32), wqkv, wo, ck, cv)
-
-
-def _pawa_ffn_kernel(x_ref, ln3s_ref, ln3b_ref, wi_hbm, wo_hbm, out_ref,
-                     wi_s, wo_s, sems):
-    c = pl.program_id(0)
-
-    @pl.when(c == 0)
-    def _preload():
-        pltpu.make_async_copy(wi_hbm, wi_s, sems.at[0]).start()
-        pltpu.make_async_copy(wo_hbm, wo_s, sems.at[1]).start()
-        pltpu.make_async_copy(wi_hbm, wi_s, sems.at[0]).wait()
-        pltpu.make_async_copy(wo_hbm, wo_s, sems.at[1]).wait()
-
-    h = jnp.dot(x_ref[:], wi_s[:], preferred_element_type=jnp.float32)
-    h = jnp.maximum(h, 0.0).astype(x_ref.dtype)
-    y = jnp.dot(h, wo_s[:], preferred_element_type=jnp.float32)
-    y = x_ref[:] + y.astype(x_ref.dtype)                   # residual
-    out_ref[:] = _layer_norm(y, ln3s_ref, ln3b_ref)        # post-norm
-
-
-def pawa_ffn_sublayer(x: Array, wi: Array, wo: Array, ln3_scale: Array,
-                      ln3_bias: Array, *, block_rows: int = 256,
-                      interpret: bool = False) -> Array:
-    """PAWA FFN sublayer: wi → ReLU → wo → +residual → LN3 (post-norm).
-    x: [R, d]; wi: [d, f]; wo: [f, d]."""
-    r, d = x.shape
-    f = wi.shape[1]
-    fixed = 2 * d * f * 2
-    per_row = f * 4 + f * 2 + 3 * d * 2
-    block_rows = _pick_block_rows(r, block_rows, fixed, per_row)
-    f32 = jnp.float32
-    return pl.pallas_call(
-        _pawa_ffn_kernel,
-        grid=(r // block_rows,),
-        in_specs=[
-            pl.BlockSpec((block_rows, d), lambda c: (c, 0)),
-            pl.BlockSpec((1, d), lambda c: (0, 0)),
-            pl.BlockSpec((1, d), lambda c: (0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((block_rows, d), lambda c: (c, 0)),
-        out_shape=jax.ShapeDtypeStruct((r, d), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((d, f), wi.dtype),
-            pltpu.VMEM((f, d), wo.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        interpret=interpret,
-    )(x, ln3_scale.reshape(1, d).astype(f32),
-      ln3_bias.reshape(1, d).astype(f32), wi, wo)

@@ -216,97 +216,6 @@ def test_fused_sampling_matches_xla():
 
 # ---------------------------------------------------- PAWA adaptor kernels
 
-def _pawa_layer_setup():
-    from gdr_tpu.models.pawa import PawaAdaptor
-
-    d, heads, lmax, rows = 64, 4, 4, 16
-    ad = PawaAdaptor(d_model=d, decode_vocab_size=24, num_layers=2,
-                     num_heads=heads, d_ff=128, dtype=jnp.bfloat16)
-    x = jnp.asarray(np.random.default_rng(3).normal(size=(rows, 1, d)),
-                    jnp.bfloat16)
-    params = ad.init(jax.random.PRNGKey(1), x)      # __call__ init
-    params = jax.tree_util.tree_map(
-        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
-        params)
-    return ad, params, x, lmax, rows
-
-
-def test_pawa_fused_step_matches_xla():
-    """PawaAdaptor.decode_step(fused=True) is bit-comparable to the XLA
-    path in interpret mode: same post-norm LayerNorm rounding (f32
-    fast-variance stats, one final cast), same attention rounding points,
-    identical cache updates."""
-    ad, params, x, lmax, rows = _pawa_layer_setup()
-    pos = jnp.asarray(1, jnp.int32)
-    cache = ad.init_cache(rows, lmax)
-    # non-trivial pre-existing cache content at positions < pos
-    for k in cache:
-        cache[k] = jnp.asarray(
-            np.random.default_rng(hash(k) % 1000).normal(
-                size=cache[k].shape), jnp.bfloat16)
-
-    want, cache_w = ad.apply(params, x, dict(cache), pos,
-                             method=ad.decode_step)
-    got, cache_f = ad.apply(params, x, dict(cache), pos, fused=True,
-                            method=ad.decode_step)
-    # Tolerance is one bf16 ulp, relative: PAWA activations sit at ±2-4
-    # (normal(1.0) embedding init) and the kernel body is one jitted region,
-    # so XLA's excess-precision folding (f32→bf16→f32 chains kept at f32)
-    # rounds differently from the op-by-op reference — bisected to exactly
-    # that: every sub-op (dot / softmax / LayerNorm recipe / residual) is
-    # bit-equal in isolation.
-    np.testing.assert_allclose(np.asarray(got, np.float32),
-                               np.asarray(want, np.float32),
-                               rtol=2e-2, atol=2e-2)
-    pos_i = int(pos)
-    for k in cache_w:
-        w = np.asarray(cache_w[k], np.float32)
-        f = np.asarray(cache_f[k], np.float32)
-        # untouched rows pass through the aliased buffer: bit-equal
-        other = [l for l in range(w.shape[0]) if l != pos_i]
-        np.testing.assert_array_equal(w[other], f[other], err_msg=k)
-        # the written row of deeper layers inherits the ulp noise of the
-        # previous layer's output; layer 0 sees identical inputs → bit-equal
-        if k.endswith("_0"):
-            np.testing.assert_array_equal(w[pos_i], f[pos_i], err_msg=k)
-        else:
-            np.testing.assert_allclose(f[pos_i], w[pos_i],
-                                       rtol=2e-2, atol=2e-2, err_msg=k)
-
-
-def test_fused_pawa_beam_search_matches_xla():
-    """End-to-end generate_cids with BOTH decoder and PAWA sublayers fused
-    returns identical sequences to the pure-XLA path."""
-    from gdr_tpu.config import ModelConfig
-    from gdr_tpu.models.gdr import GenerativeRetriever, init_params
-    from gdr_tpu.ops import beam as B
-    from gdr_tpu.ops.trie import build_trie
-
-    cfg = ModelConfig(kary=4, max_output_length=5, d_model=64, d_kv=16,
-                      d_ff=128, num_layers=2, num_decoder_layers=2,
-                      num_heads=4, vocab_size=256, encoder_d_model=64,
-                      adaptor_layer_num=2, adaptor_num_heads=2)
-    model = GenerativeRetriever(cfg, dtype=jnp.bfloat16)
-    params = init_params(model, jax.random.PRNGKey(0), input_len=8)
-    params = jax.tree_util.tree_map(
-        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
-        params)
-    rng = np.random.default_rng(5)
-    cid_to_docs = {f"{a}-{bb}": [str(a * 3 + bb)]
-                   for a in range(4) for bb in range(3)}
-    trie = build_trie(cid_to_docs, cfg.kary)
-    children = jnp.asarray(trie.children)
-    eos = jnp.asarray(trie.eos_allowed)
-    ids = jnp.asarray(rng.integers(2, 256, (2, 8)), jnp.int32)
-    msk = jnp.ones((2, 8), jnp.int32)
-    r0, _, _ = B.generate_cids(model, params, ids, msk, children, eos, 6, 4)
-    r1, _, _ = B.generate_cids(model, params, ids, msk, children, eos, 6, 4,
-                               fused=True, fused_pawa=True)
-    np.testing.assert_array_equal(np.asarray(r0.sequences),
-                                  np.asarray(r1.sequences))
-    np.testing.assert_allclose(np.asarray(r0.scores),
-                               np.asarray(r1.scores), atol=1e-2)
-
 
 def test_pick_block_rows_always_legal():
     """Every returned block must be lowerable: divisible by 8 or the full
