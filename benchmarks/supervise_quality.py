@@ -82,6 +82,16 @@ def _has_resumable_ckpt(since: float = 0.0) -> bool:
     return False
 
 
+def _cpu_jiffies(pid: int) -> int:
+    """utime+stime of pid from /proc/<pid>/stat (0 when gone)."""
+    try:
+        with open(f"/proc/{pid}/stat") as fh:
+            rest = fh.read().rsplit(")", 1)[1].split()
+        return int(rest[11]) + int(rest[12])
+    except (OSError, IndexError, ValueError):
+        return 0
+
+
 def last_json_line(path: str) -> dict:
     out: dict = {}
     try:
@@ -153,9 +163,22 @@ def main() -> int:
              "--phase", "quality"],
             stdout=out_f, stderr=log_f, env=env, cwd=REPO)
         stalled = False
+        # A cold compile through the tunnel is 8-10 min of FILE silence but
+        # burns host CPU continuously; the tunnel-hang failure mode this
+        # stall detector exists for shows ZERO child CPU.  Count CPU
+        # activity as progress so long compiles survive (720 s killed two
+        # expansion-evaluator compiles mid-flight on 2026-08-20, each kill
+        # also dropping the latest orbax steps).
+        prev_jiffies = _cpu_jiffies(proc.pid)
+        last_cpu_active = time.time()
         while proc.poll() is None:
             time.sleep(20)
-            idle = time.time() - newest_progress_ts(args.out, args.log)
+            jiffies = _cpu_jiffies(proc.pid)
+            if jiffies > prev_jiffies:
+                last_cpu_active = time.time()
+            prev_jiffies = jiffies
+            idle = time.time() - max(newest_progress_ts(args.out, args.log),
+                                     last_cpu_active)
             stall_s = (args.stall_s if _has_resumable_ckpt(since=t_start)
                        else args.stall_s_no_ckpt)
             if idle > stall_s:
