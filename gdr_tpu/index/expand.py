@@ -25,7 +25,7 @@ def expand_index(index: Index, new_doc_embeddings: np.ndarray) -> Index:
     new_trie, rows = insert_docs(trie, new_doc_embeddings, first_new)
     store = np.concatenate([index.store,
                             np.asarray(new_doc_embeddings, np.float32)])
-    cluster_cids = [trie.cid_of_node(int(n)) for n in trie.cluster_node_ids]
+    cluster_cids = trie.cids_of_nodes(trie.cluster_node_ids)
     new_cids = [cluster_cids[int(r)] for r in rows]
     paths = index.paths + [[int(c) for c in cid.split("-")] for cid in new_cids]
     return Index(store=store, trie=new_trie, paths=paths,

@@ -138,3 +138,45 @@ def test_quality_phase_warm_start_hook(monkeypatch, tmp_path, capsys):
     assert "quality_recall10" in out_warm
     warm_dirs = {p.name for p in tmp_path.glob("q6_*")} - cold_dirs
     assert warm_dirs, "warm start must key a distinct workdir"
+
+
+def test_emit_sibling_banks(tmp_path):
+    """Banked metrics from OTHER operating points' workdirs are emitted
+    namespaced by doc count (quality334k_recall10, ...) — the active
+    workdir, tiny workdirs, bankless or doccount-less banks are skipped.
+    This is how a supervised 334k training reaches the round artifact
+    while the live manifest stays at the warm-compiled 50k point."""
+    active = tmp_path / "q6_aaa_50000_12_128_0.0003_small"
+    sib = tmp_path / "q6_bbb_334314_8_128_0.00015_small"
+    tiny = tmp_path / "q6_ccc_240_2_32_0.0003_tiny"
+    nodocs = tmp_path / "q6_ddd_1000_2_32_0.0003_small"
+    for d in (active, sib, tiny, nodocs):
+        d.mkdir()
+    (active / "banked_metrics.json").write_text(json.dumps(
+        {"quality_recall10": 0.542, "quality_n_docs": 50000}))
+    (sib / "banked_metrics.json").write_text(json.dumps(
+        {"quality_recall10": 0.31, "quality_n_docs": 334314,
+         "expansion_newdoc_recall10": 0.4, "oracle_recall10": 0.3,
+         "quality_banked_at": 1.0, "unrelated_key": 7}))
+    (tiny / "banked_metrics.json").write_text(json.dumps(
+        {"quality_recall10": 0.9, "quality_n_docs": 240}))
+    (nodocs / "banked_metrics.json").write_text(json.dumps(
+        {"quality_recall10": 0.5}))
+
+    got = {}
+    bench._emit_sibling_banks(str(tmp_path), str(active), got.update)
+    assert got == {"quality334k_recall10": 0.31,
+                   "quality334k_n_docs": 334314,
+                   "expansion334k_newdoc_recall10": 0.4,
+                   "oracle334k_recall10": 0.3,
+                   "quality334k_banked_at": 1.0}
+
+
+def test_emit_sibling_banks_bad_json(tmp_path):
+    active = tmp_path / "q6_aaa_50000_12_128_0.0003_small"
+    bad = tmp_path / "q6_eee_99000_8_128_0.0001_small"
+    active.mkdir(); bad.mkdir()
+    (bad / "banked_metrics.json").write_text("{not json")
+    got = {}
+    bench._emit_sibling_banks(str(tmp_path), str(active), got.update)
+    assert got == {}
