@@ -169,12 +169,20 @@ def main() -> int:
         # activity as progress so long compiles survive (720 s killed two
         # expansion-evaluator compiles mid-flight on 2026-08-20, each kill
         # also dropping the latest orbax steps).
+        #
+        # "Activity" needs a RATE floor: a child blocked on a dead tunnel
+        # still trickles ~2 jiffies per 20 s (PJRT client polling threads),
+        # and any-increment detection reset the clock forever — a hung
+        # child was kept alive through a full outage on 2026-08-20.  A
+        # compile burns ~100% of the single core (~2000 jiffies/20 s);
+        # MIN_ACTIVE_JIFFIES=50 (2.5% CPU) separates the two regimes.
+        MIN_ACTIVE_JIFFIES = 50
         prev_jiffies = _cpu_jiffies(proc.pid)
         last_cpu_active = time.time()
         while proc.poll() is None:
             time.sleep(20)
             jiffies = _cpu_jiffies(proc.pid)
-            if jiffies > prev_jiffies:
+            if jiffies - prev_jiffies >= MIN_ACTIVE_JIFFIES:
                 last_cpu_active = time.time()
             prev_jiffies = jiffies
             idle = time.time() - max(newest_progress_ts(args.out, args.log),

@@ -328,12 +328,15 @@ class TrainLoop:
                     best = dict(metrics)
             self.logger.log(metrics, global_step)
             self.last_epoch_metrics = metrics
+            # Per-epoch resume point (latest-1 retention, separate from the
+            # best-k manager): the regular ``save`` above only runs on eval
+            # epochs AND is GC'd by best-k retention whenever the monitored
+            # metric did not improve — a crash/kill could lose every epoch
+            # since the last IMPROVING eval (observed: a 6-epoch 334k run
+            # resumable only at epoch 1).  ``restore_latest`` prefers this
+            # save exactly when it is newer than the kept best step.
+            self.ckpt.save_preemption(epoch + 1, self.state)
             if deadline is not None and time.time() >= deadline:
-                if (epoch + 1) % self.eval_every != 0:
-                    # no regular checkpoint landed this epoch: persist the
-                    # completed-epoch state under epoch+1 so a resume starts
-                    # exactly at the first untrained epoch
-                    self.ckpt.save_preemption(epoch + 1, self.state)
                 self.logger.log({"deadline_stop_epoch": epoch}, global_step)
                 break
         self.logger.close()

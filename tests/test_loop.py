@@ -107,6 +107,23 @@ def test_resume_continues_after_checkpointed_epoch(tmp_path):
     assert int(loop3.state.step) > step_before
 
 
+def test_every_epoch_leaves_resume_point(tmp_path):
+    """Resume must lose at most ONE epoch after a hard kill.
+
+    The regular per-eval-epoch save goes through best-k retention: when the
+    monitored metric does not improve, orbax GCs that step and a kill then
+    resumes at the last IMPROVING eval — observed on a tunneled 334k run as
+    a 5-epoch loss.  The loop therefore persists a latest-1 preemption save
+    at EVERY epoch boundary, and ``restore_latest`` must prefer it."""
+    cfg, index, ts, dev = _world()
+    loop = TrainLoop(cfg, index, ts, dev, workdir=str(tmp_path), seed=0)
+    loop.run(max_epochs=3)
+    # the latest-1 resume point names the first UNtrained epoch (3)
+    assert loop.ckpt._preempt_mgr().latest_step() == 3
+    loop2 = TrainLoop(cfg, index, ts, dev, workdir=str(tmp_path), seed=0)
+    assert loop2.start_epoch == 3
+
+
 def test_incremental_store_refresh(tmp_path):
     """stage2_refresh_fraction < 1: only a rotating slice re-embeds per
     eval epoch; the rest keeps its previous embedding."""
