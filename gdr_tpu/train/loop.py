@@ -335,7 +335,12 @@ class TrainLoop:
             # since the last IMPROVING eval (observed: a 6-epoch 334k run
             # resumable only at epoch 1).  ``restore_latest`` prefers this
             # save exactly when it is newer than the kept best step.
-            self.ckpt.save_preemption(epoch + 1, self.state)
+            # Single-process only: the checkpoint path fetches every leaf
+            # with ``jax.device_get`` (see ``_host_state``), which cannot
+            # read process-spanning shardings — multi-host runs keep the
+            # eval-epoch save cadence.
+            if jax.process_count() == 1:
+                self.ckpt.save_preemption(epoch + 1, self.state)
             if deadline is not None and time.time() >= deadline:
                 self.logger.log({"deadline_stop_epoch": epoch}, global_step)
                 break
