@@ -750,19 +750,35 @@ def quality_phase(tiny: bool) -> dict:
     log(f"quality: TrainLoop best={ {k: round(v, 4) for k, v in best.items() if isinstance(v, float)} }")
 
     # final eval through the product Evaluator with the best checkpoint
-    # (scored against the PRECOMPUTED store — the stage-1 operating point;
-    # the stage-2 refreshed-store numbers are reported separately below)
     # template-based restore (StandardRestore(loop.state)): a raw restore
     # reconstructs device shardings from checkpoint metadata, which fails
     # when the persistent cache holds checkpoints written on the other
     # platform (TPU-written ckpt + CPU re-run, observed in the tiny smoke)
     _, best_state = loop.ckpt.restore_best(loop.state)
     params = best_state.params["generator"]
+    # serving store: when the two-stage schedule trained the doc tower,
+    # score against ITS embeddings — the reference re-encodes candidates
+    # with the live tower at eval time (main_models.py:1455-1462), so a
+    # stage-2 checkpoint evaluated against the stale PRECOMPUTED store
+    # mixes two embedding spaces and understates recall (334k/8-epoch:
+    # recall10 0.14 stale vs 0.40 at the in-training refreshed point)
+    # stage-2 runs for 0-based epochs e > train_encoder_epoch (loop.py:235),
+    # so the last completed epoch (epochs_ran - 1) must be past the switch
+    stage2_ran = (doc_tok is not None
+                  and epochs_ran - 1 > cfg.train.train_encoder_epoch)
+    serving_store = index.store
+    if stage2_ran:
+        from gdr_tpu.index.builder import embed_corpus
+        t0 = time.perf_counter()
+        serving_store = np.asarray(embed_corpus(
+            doc_tower, best_state.params["doc_encoder"],
+            doc_tok, doc_tok_mask, batch_size=min(256, len(doc_tok))))
+        t_phase["serving_refresh_s"] = round(time.perf_counter() - t0, 1)
     # packed (+Pallas on TPU) re-rank: the serving fast path, and the same
     # program the in-training evals compiled — at 334k the per-row-gather
     # path would cold-compile for minutes inside the phase cap (metrics
     # equivalence packed vs gather: tests/test_loop.py, tests/test_eval.py)
-    ev_main = Evaluator(loop.model, index.trie, index.store, cfg.eval,
+    ev_main = Evaluator(loop.model, index.trie, serving_store, cfg.eval,
                         packed=True, use_pallas=not tiny)
     t0 = time.perf_counter()
     metrics = ev_main.evaluate(params, dev, batch_size=64)
@@ -791,11 +807,13 @@ def quality_phase(tiny: bool) -> dict:
             loop.last_epoch_metrics["store_refresh_seconds"], 1)
     bank(out)
 
-    # dense oracle: exhaustive tanh(q·d) with the SAME query embeddings —
-    # fully on-device (an n_dev × n_docs host matmul + argsort is minutes
-    # at the 334k×768 scale on this 1-core host)
+    # dense oracle: exhaustive tanh(q·d) with the SAME query embeddings and
+    # the SAME serving store the product path scores against (a stale-store
+    # oracle would understate dense retrieval for stage-2 checkpoints and
+    # inflate recall10_vs_oracle) — fully on-device (an n_dev × n_docs host
+    # matmul + argsort is minutes at the 334k×768 scale on this 1-core host)
     model = loop.model
-    store_dev = jnp.asarray(index.store, jnp.float32)
+    store_dev = jnp.asarray(serving_store, jnp.float32)
 
     @jax.jit
     def oracle_top(ids, msk):
