@@ -745,8 +745,20 @@ def quality_phase(tiny: bool) -> dict:
     # reflects the BEST checkpoint (e.g. epoch 8), not epochs trained
     epochs_ran = max(int(loop.last_epoch_metrics.get("epoch", -1)) + 1,
                      loop.start_epoch)
+    # quality_train_s is cumulative across resumed attempts: an eval-only
+    # resume (epochs already complete) must not erase the hours the
+    # checkpoint actually trained in earlier supervised runs
+    prev_train_s = 0.0
+    if os.path.exists(bank_path):
+        try:
+            with open(bank_path) as fh:
+                prev_train_s = float(json.load(fh).get("quality_train_s", 0))
+        except (OSError, ValueError):
+            pass
     bank({"quality_epochs_ran": epochs_ran,
-          "quality_train_s": t_phase["train_s"]})
+          "quality_train_s": (round(prev_train_s + t_phase["train_s"], 1)
+                              if best else
+                              round(max(prev_train_s, t_phase["train_s"]), 1))})
     log(f"quality: TrainLoop best={ {k: round(v, 4) for k, v in best.items() if isinstance(v, float)} }")
 
     # final eval through the product Evaluator with the best checkpoint
