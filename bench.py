@@ -865,11 +865,31 @@ def quality_phase(tiny: bool) -> dict:
     r_x = np.random.default_rng(777)
     new_topics = r_x.integers(0, n_topics, n_new)
     new_words = [[f"x{d}u{j}" for j in range(4)] for d in range(n_new)]
+    # new docs' INSERT embeddings come from the same source that built the
+    # index (the synthetic AR2 stand-in), matching the reference's
+    # tree_embedding_insert (main_models.py:268-295): cluster matching is
+    # against trie node embeddings derived from that space at build time
     new_store = (centers[new_topics]
                  + r_x.normal(size=(n_new, dim))).astype(np.float32)
     new_store /= np.linalg.norm(new_store, axis=1, keepdims=True)
     big = expand_index(index, new_store)
     t_phase["expand_insert_s"] = round(time.perf_counter() - t0, 2)
+    # serving store for the enlarged corpus: stage-2 checkpoints score in
+    # the trained tower's space (same consistency rule as the main eval
+    # above — the reference re-encodes candidates with the live tower at
+    # eval, main_models.py:1455-1462), so embed the new docs' TEXT (topic
+    # words + fresh doc words, the corpus schema) with the tower; stage-1
+    # checkpoints keep the index's own space
+    big_store = big.store
+    if stage2_ran:
+        from gdr_tpu.index.builder import embed_corpus
+        new_texts = [" ".join(list(topic_words[new_topics[i]])
+                              + new_words[i]) for i in range(n_new)]
+        nt_ids, nt_mask = tok.encode_batch(new_texts, sc["doc_len"])
+        new_emb = np.asarray(embed_corpus(
+            doc_tower, best_state.params["doc_encoder"], nt_ids, nt_mask,
+            batch_size=min(256, len(nt_ids))))
+        big_store = np.concatenate([serving_store, new_emb], 0)
 
     def make_new_query(i, r):
         words = (list(r.choice(topic_words[new_topics[i]], 4, replace=False))
@@ -886,7 +906,7 @@ def quality_phase(tiny: bool) -> dict:
         gt_docs=[[str(n_docs + i)] for i in range(n_new)],
         gt_cids=[[big.cid_of_doc[n_docs + i]] for i in range(n_new)])
     t0 = time.perf_counter()
-    ev_big = Evaluator(loop.model, big.trie, big.store, cfg.eval,
+    ev_big = Evaluator(loop.model, big.trie, big_store, cfg.eval,
                        packed=True, use_pallas=not tiny)
     m_new = ev_big.evaluate(params, new_dev, batch_size=64)
     m_old = ev_big.evaluate(params, dev, batch_size=64)
@@ -909,7 +929,9 @@ def quality_phase(tiny: bool) -> dict:
         # quantifies that gap (round-2 Weak #4); quality_recall10_decfuse_t
         # below is the apples-to-apples number from a fusion-trained
         # checkpoint.
-        ev_fuse = Evaluator(loop.model, index.trie, index.store,
+        # serving_store: apples-to-apples with quality_recall10 above (the
+        # decoder-avg pooling is the only variable, not the scoring space)
+        ev_fuse = Evaluator(loop.model, index.trie, serving_store,
                             dataclasses.replace(
                                 cfg.eval, use_query_embed_encoder=True,
                                 use_query_embed_decoder_avg=True),
